@@ -1,0 +1,19 @@
+"""Test configuration: run every test on a virtual 8-device CPU mesh.
+
+Note: this environment's sitecustomize imports jax at interpreter startup
+(so JAX_PLATFORMS env edits here are too late), but backend initialization
+is lazy — jax.config.update still selects the platform reliably.
+"""
+import os
+import sys
+
+# Make the repo root importable regardless of how pytest is invoked.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", False)
