@@ -1,0 +1,145 @@
+"""On-disk scan-stream dataset: the rosbag replacement.
+
+The reference ingests ROS bags with the C++ rosbag stack and decodes
+PointCloud2 messages per scan (reference: examples/run_loner.py:59-157,
+281-328). This framework's canonical on-disk format is a directory of
+npz scans + a TUM ground-truth trajectory:
+
+    <dataset>/
+      meta.yaml                # sensor metadata (optional)
+      scans/scan_000000.npz    # directions (3,N) f32, distances (N,) f32,
+      scans/scan_000001.npz    #   timestamps (N,) f64 (sorted)
+      ...
+      poses_gt.tum             # optional GT trajectory (TUM format)
+
+``normalize_timestamps`` reproduces the reference's ingest heuristics
+(run_loner.py:103-157): ns -> s conversion, per-scan-relative stamps
+shifted to global time, and sort-by-time enforcement.
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+import yaml
+
+from loner_tpu.common.pose import Pose
+from loner_tpu.common.sensors import LidarScan
+from loner_tpu.common.trajectory import TrajectoryInterpolator, load_tum_trajectory
+
+
+def normalize_timestamps(
+    timestamps: np.ndarray,
+    scan_time: float,
+    relative_to_start: bool = True,
+) -> np.ndarray:
+    """Apply the reference's timestamp heuristics to per-point stamps.
+
+    - stamps that look like nanoseconds (> 1e11 relative spread or absolute
+      magnitude) are scaled to seconds
+    - stamps relative to scan start are shifted by ``scan_time``
+    - output is float64 seconds, globally referenced
+    """
+    ts = np.asarray(timestamps, dtype=np.float64)
+    if ts.size == 0:
+        return ts
+    if np.abs(ts).max() > 1e14:  # absolute nanoseconds
+        ts = ts * 1e-9
+    elif ts.max() - ts.min() > 1e6:  # relative nanoseconds
+        ts = ts * 1e-9
+    if relative_to_start or ts.max() < 1e5:
+        if ts.min() < 1e5:  # per-scan-local stamps
+            ts = ts + scan_time
+    return ts
+
+
+class ScanStreamWriter:
+    def __init__(self, root: str, meta: Optional[dict] = None) -> None:
+        self._root = root
+        os.makedirs(os.path.join(root, "scans"), exist_ok=True)
+        self._count = 0
+        if meta:
+            with open(os.path.join(root, "meta.yaml"), "w") as f:
+                yaml.safe_dump(meta, f)
+
+    def add_scan(self, scan: LidarScan) -> None:
+        path = os.path.join(self._root, "scans", f"scan_{self._count:06d}.npz")
+        np.savez_compressed(
+            path,
+            directions=scan.ray_directions,
+            distances=scan.distances,
+            timestamps=scan.timestamps,
+        )
+        self._count += 1
+
+    def write_gt(self, poses: np.ndarray, timestamps: np.ndarray) -> None:
+        from loner_tpu.common.trajectory import dump_trajectory_to_tum
+
+        dump_trajectory_to_tum(poses, timestamps, os.path.join(self._root, "poses_gt.tum"))
+
+
+class ScanStreamReader:
+    """Iterates (LidarScan, Optional[Pose gt]) in time order."""
+
+    def __init__(self, root: str) -> None:
+        self._root = root
+        scan_dir = os.path.join(root, "scans")
+        self._scan_files = sorted(
+            os.path.join(scan_dir, f) for f in os.listdir(scan_dir) if f.endswith(".npz")
+        )
+        gt_path = os.path.join(root, "poses_gt.tum")
+        self._gt: Optional[TrajectoryInterpolator] = None
+        if os.path.exists(gt_path):
+            poses, ts = load_tum_trajectory(gt_path)
+            self._gt = TrajectoryInterpolator(poses, ts)
+        meta_path = os.path.join(root, "meta.yaml")
+        self.meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.meta = yaml.safe_load(f) or {}
+
+    def __len__(self) -> int:
+        return len(self._scan_files)
+
+    @property
+    def gt_interpolator(self) -> Optional[TrajectoryInterpolator]:
+        return self._gt
+
+    def gt_poses(self) -> Optional[np.ndarray]:
+        if self._gt is None:
+            return None
+        return self._gt._poses
+
+    def read_scan(self, idx: int) -> LidarScan:
+        data = np.load(self._scan_files[idx])
+        return LidarScan(data["directions"], data["distances"], data["timestamps"])
+
+    def __iter__(self) -> Iterator[Tuple[LidarScan, Optional[Pose]]]:
+        for i in range(len(self)):
+            scan = self.read_scan(i)
+            gt = None
+            if self._gt is not None and self._gt.contains(scan.get_start_time()):
+                gt = self._gt.at(scan.get_start_time())
+            yield scan, gt
+
+
+def apply_fov_mask(scan: LidarScan, fov_ranges_deg: List[List[float]]) -> LidarScan:
+    """Keep only rays whose azimuth falls in the given degree ranges
+    (reference run_loner.py lidar_fov filter, cfg/defaults.yaml:124-126)."""
+    azim = np.rad2deg(
+        np.arctan2(scan.ray_directions[1], scan.ray_directions[0])
+    ) % 360.0
+    keep = np.zeros(len(scan), dtype=bool)
+    for lo, hi in fov_ranges_deg:
+        keep |= (azim >= lo) & (azim <= hi)
+    return LidarScan(
+        scan.ray_directions[:, keep], scan.distances[keep], scan.timestamps[keep]
+    )
+
+
+def apply_min_range(scan: LidarScan, min_range: float) -> LidarScan:
+    keep = scan.distances > min_range
+    return LidarScan(
+        scan.ray_directions[:, keep], scan.distances[keep], scan.timestamps[keep]
+    )

@@ -1,0 +1,185 @@
+"""Tests for sensors, frames, signals, trajectories, and datasets."""
+import numpy as np
+import pytest
+
+from loner_tpu.common.frame import Frame
+from loner_tpu.common.pose import Pose
+from loner_tpu.common.sensors import LidarScan
+from loner_tpu.common.signals import Signal, SharedState, StopSignal
+from loner_tpu.common.trajectory import (
+    TrajectoryInterpolator,
+    dump_trajectory_to_tum,
+    load_tum_trajectory,
+)
+from loner_tpu.datasets.scan_stream import (
+    ScanStreamReader,
+    ScanStreamWriter,
+    normalize_timestamps,
+)
+from loner_tpu.datasets.synthetic import (
+    BoxRoomScene,
+    VirtualLidar,
+    generate_sequence,
+    make_scan,
+)
+
+
+class TestSyntheticScene:
+    def test_raycast_walls_exact(self):
+        scene = BoxRoomScene(obstacles=[])
+        origins = np.zeros((3, 3))
+        dirs = np.eye(3)
+        depth = scene.raycast(origins, dirs)
+        np.testing.assert_allclose(depth, [8.0, 6.0, 3.0], atol=1e-9)
+
+    def test_raycast_obstacle(self):
+        scene = BoxRoomScene()
+        # +x ray from origin hits the first obstacle (x in [2, 4], y in [-2, 0]).
+        depth = scene.raycast(np.zeros((1, 3)), np.array([[1.0, -1e-6, 0.0]]))
+        assert depth[0] == pytest.approx(2.0, abs=1e-4)
+
+    def test_scan_depths_sorted_times(self):
+        scene, lidar = BoxRoomScene(), VirtualLidar(num_channels=8, num_columns=64)
+        scan = make_scan(scene, lidar, Pose.identity(), 100.0)
+        assert np.all(np.diff(scan.timestamps) >= 0)
+        assert np.all(scan.distances > 0)
+        norms = np.linalg.norm(scan.ray_directions, axis=0)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+    def test_scan_reconstruction(self):
+        # end points recovered in the world frame lie on scene surfaces.
+        scene, lidar = BoxRoomScene(obstacles=[]), VirtualLidar(num_channels=4, num_columns=32)
+        pose = Pose.from_twist(np.array([1.0, 0.5, 0.2, 0, 0, 0.3]))
+        scan = make_scan(scene, lidar, pose, 0.0)
+        pts_world = pose.transform_points(scan.end_points())
+        on_wall = (
+            np.isclose(np.abs(pts_world[:, 0] - 0), 8.0, atol=1e-4)
+            | np.isclose(pts_world[:, 0], -8.0, atol=1e-4)
+            | np.isclose(pts_world[:, 0], 8.0, atol=1e-4)
+            | np.isclose(pts_world[:, 1], -6.0, atol=1e-4)
+            | np.isclose(pts_world[:, 1], 6.0, atol=1e-4)
+            | np.isclose(pts_world[:, 2], -2.0, atol=1e-4)
+            | np.isclose(pts_world[:, 2], 3.0, atol=1e-4)
+        )
+        assert on_wall.all()
+
+
+class TestMotionCompensation:
+    def test_identity_motion_noop(self):
+        scene, lidar = BoxRoomScene(), VirtualLidar(num_channels=4, num_columns=32)
+        scan = make_scan(scene, lidar, Pose.identity(), 0.0)
+        before = scan.end_points().copy()
+        scan.motion_compensate((Pose.identity(), Pose.identity()), (0.0, 0.1), Pose.identity())
+        np.testing.assert_allclose(scan.end_points(), before, atol=1e-4)
+
+    def test_pure_translation(self):
+        # Sensor moves +x at 10 m/s; stationary wall at x=5 in sensor frame at t=0.
+        n = 11
+        ts = np.linspace(0.0, 0.1, n)
+        true_positions = np.stack([10.0 * ts, np.zeros(n), np.zeros(n)], axis=1)
+        # Each point measured toward +x: measured distance = 5 - 10 t.
+        dirs = np.tile(np.array([[1.0], [0.0], [0.0]]), (1, n))
+        dists = 5.0 - true_positions[:, 0]
+        scan = LidarScan(dirs, dists, ts)
+        p0 = Pose.identity()
+        p1 = Pose.from_twist(np.array([1.0, 0, 0, 0, 0, 0]))
+        scan.motion_compensate((p0, p1), (0.0, 0.1), p0)
+        np.testing.assert_allclose(scan.distances, 5.0, atol=1e-5)
+
+
+class TestSignals:
+    def test_fanout_and_stop(self):
+        sig = Signal()
+        s1, s2 = sig.register(), sig.register()
+        sig.emit(42)
+        sig.emit(StopSignal())
+        assert s1.get_value() == 42 and s2.get_value() == 42
+        assert isinstance(s1.get_value(), StopSignal)
+
+    def test_single_process_deepcopy(self):
+        sig = Signal(single_process=True)
+        slot = sig.register()
+        payload = {"a": [1, 2]}
+        sig.emit(payload)
+        got = slot.get_value()
+        got["a"].append(3)
+        assert payload["a"] == [1, 2]
+
+    def test_shared_state(self):
+        st = SharedState()
+        assert st.last_mapped_frame_time is None
+        st.last_mapped_frame_time = 5.0
+        assert st.last_mapped_frame_time == 5.0
+
+
+class TestFrame:
+    def test_point_cloud_middle_fraction(self):
+        n = 100
+        ts = np.linspace(0, 1, n)
+        dirs = np.tile(np.array([[1.0], [0.0], [0.0]]), (1, n))
+        scan = LidarScan(dirs, np.ones(n), ts)
+        frame = Frame(lidar_points=scan)
+        pts = frame.build_point_cloud(scan_duration=0.5)
+        assert 45 <= pts.shape[0] <= 55
+
+    def test_point_cloud_target_points(self):
+        n = 1000
+        scan = LidarScan(
+            np.random.default_rng(0).normal(size=(3, n)),
+            np.ones(n),
+            np.linspace(0, 1, n),
+        )
+        frame = Frame(lidar_points=scan)
+        pts = frame.build_point_cloud(scan_duration=0.9, target_points=100)
+        assert 90 <= pts.shape[0] <= 130
+
+
+class TestTrajectory:
+    def test_tum_roundtrip(self, tmp_path):
+        poses, ts, _, _, _ = None, None, None, None, None
+        from loner_tpu.datasets.synthetic import make_trajectory
+
+        scene = BoxRoomScene()
+        poses, ts = make_trajectory(scene, 10)
+        f = str(tmp_path / "traj.tum")
+        dump_trajectory_to_tum(poses, ts, f)
+        poses2, ts2 = load_tum_trajectory(f)
+        np.testing.assert_allclose(poses2, poses, atol=1e-6)
+        np.testing.assert_allclose(ts2, ts, atol=1e-9)
+
+    def test_interpolation_midpoint(self):
+        p0, p1 = np.eye(4), np.eye(4).copy()
+        p1[:3, 3] = [2.0, 0, 0]
+        interp = TrajectoryInterpolator(np.stack([p0, p1]), np.array([0.0, 1.0]))
+        mid = interp.at(0.5)
+        np.testing.assert_allclose(mid.get_translation(), [1.0, 0, 0], atol=1e-9)
+
+
+class TestScanStream:
+    def test_write_read_roundtrip(self, tmp_path):
+        scans, poses, ts, _, _ = generate_sequence(
+            num_scans=3, lidar=VirtualLidar(num_channels=4, num_columns=16)
+        )
+        writer = ScanStreamWriter(str(tmp_path / "ds"), meta={"sensor": "test"})
+        for s in scans:
+            writer.add_scan(s)
+        writer.write_gt(poses, ts)
+
+        reader = ScanStreamReader(str(tmp_path / "ds"))
+        assert len(reader) == 3
+        assert reader.meta["sensor"] == "test"
+        items = list(reader)
+        for (scan, gt), orig, gt_pose in zip(items, scans, poses):
+            np.testing.assert_allclose(scan.distances, orig.distances, atol=1e-6)
+            assert gt is not None
+            np.testing.assert_allclose(gt.matrix, gt_pose, atol=1e-5)
+
+    def test_timestamp_heuristics(self):
+        # absolute nanoseconds
+        ts = np.array([1.6e18, 1.6e18 + 1e8])
+        out = normalize_timestamps(ts, scan_time=0.0)
+        np.testing.assert_allclose(np.diff(out), [0.1], atol=1e-5)
+        # per-scan relative seconds
+        ts = np.array([0.0, 0.05, 0.1])
+        out = normalize_timestamps(ts, scan_time=1000.0)
+        np.testing.assert_allclose(out, [1000.0, 1000.05, 1000.1])
