@@ -1,0 +1,334 @@
+"""Golden tests for the neural field, rendering math, losses, occ grid."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from loner_tpu.models.field import FieldConfig, init_field_params, query_field, query_sigma
+from loner_tpu.models.hash_encoding import (
+    HashEncodingConfig,
+    hash_corner_indices,
+    hash_encode,
+    init_hash_table,
+)
+from loner_tpu.models.losses import (
+    get_logits_grad,
+    get_weights_gt,
+    js_divergence_gaussian,
+    kl_divergence_gaussian,
+)
+from loner_tpu.models.occupancy_grid import (
+    init_occ_grid,
+    interpolate_occ_logits,
+    occ_grid_update,
+)
+from loner_tpu.models.rendering import (
+    OccGridRaySampler,
+    UniformRaySampler,
+    pack_rays,
+    raw2outputs,
+    render_rays,
+    sample_pdf,
+)
+from loner_tpu.models.sh_encoding import sh_encode
+
+
+class TestHashEncoding:
+    def test_level_structure(self):
+        cfg = HashEncodingConfig(n_levels=16, log2_hashmap_size=18, base_resolution=16)
+        sizes = cfg.level_table_sizes()
+        # Coarse levels dense: level 0 has (16+1)^3 entries.
+        assert sizes[0] == 17 ** 3
+        # Fine levels capped at 2^18.
+        assert sizes[-1] == 2 ** 18
+        assert cfg.total_table_size == sizes.sum()
+
+    def test_weights_sum_to_one(self):
+        cfg = HashEncodingConfig(n_levels=4)
+        pos = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (32, 3)), jnp.float32)
+        _, w = hash_corner_indices(pos, cfg)
+        np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-5)
+
+    def test_dense_level_vertex_exact(self):
+        # At a dense-grid vertex the encoding equals the stored feature.
+        cfg = HashEncodingConfig(n_levels=1, base_resolution=4, log2_hashmap_size=18)
+        table = init_hash_table(jax.random.key(0), cfg)
+        # Vertex (1, 2, 3) of the 5^3 dense grid -> pos01 = vertex / 4.
+        pos = jnp.asarray([[1 / 4, 2 / 4, 3 / 4]], jnp.float32)
+        out = hash_encode(table, pos, cfg)
+        expected = table[1 + 2 * 5 + 3 * 25]
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(expected), atol=1e-6)
+
+    def test_linear_along_axis(self):
+        cfg = HashEncodingConfig(n_levels=1, base_resolution=2, log2_hashmap_size=18)
+        table = init_hash_table(jax.random.key(1), cfg)
+        # Trilerp is linear between adjacent vertices: midpoint = average.
+        p0 = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+        p1 = jnp.asarray([[0.5, 0.0, 0.0]], jnp.float32)
+        pm = jnp.asarray([[0.25, 0.0, 0.0]], jnp.float32)
+        f0, f1, fm = (hash_encode(table, p, cfg) for p in (p0, p1, pm))
+        np.testing.assert_allclose(np.asarray(fm), np.asarray(0.5 * (f0 + f1)), atol=1e-6)
+
+    def test_boundary_clamps(self):
+        cfg = HashEncodingConfig(n_levels=2)
+        table = init_hash_table(jax.random.key(2), cfg)
+        pos = jnp.asarray([[1.0, 1.0, 1.0], [0.0, 0.0, 0.0], [1.5, -0.5, 0.5]], jnp.float32)
+        out = hash_encode(table, pos, cfg)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_gradients_flow_to_table(self):
+        cfg = HashEncodingConfig(n_levels=2, base_resolution=4)
+        table = init_hash_table(jax.random.key(3), cfg)
+        pos = jnp.asarray(np.random.default_rng(1).uniform(0.1, 0.9, (16, 3)), jnp.float32)
+        g = jax.grad(lambda t: hash_encode(t, pos, cfg).sum())(table)
+        assert float(jnp.abs(g).sum()) > 0
+
+
+class TestSHEncoding:
+    def test_constant_term(self):
+        dirs = jnp.asarray(np.random.default_rng(0).normal(size=(8, 3)), jnp.float32)
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        out = sh_encode((dirs + 1) / 2, degree=4)
+        assert out.shape == (8, 16)
+        np.testing.assert_allclose(np.asarray(out[:, 0]), 0.28209479, atol=1e-6)
+
+    def test_degree1_linear(self):
+        d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+        out = sh_encode((d + 1) / 2, degree=2)
+        # Y_1^0 ~ z with coefficient 0.4886.
+        assert out[0, 2] == pytest.approx(0.48860252, abs=1e-6)
+
+
+class TestSamplePdf:
+    def test_deterministic_uniform_weights(self):
+        bins = jnp.asarray(np.linspace(0, 1, 9)[None].repeat(2, 0), jnp.float32)
+        weights = jnp.ones((2, 8), jnp.float32)
+        s = sample_pdf(jax.random.key(0), bins, weights, 16, det=True)
+        s = np.asarray(s)
+        assert s.shape == (2, 16)
+        assert np.all(np.diff(s, axis=-1) >= -1e-6)
+        assert s.min() >= 0 and s.max() <= 1
+
+    def test_concentrated_weights(self):
+        bins = jnp.asarray(np.linspace(0, 1, 11)[None], jnp.float32)
+        weights = np.full((1, 10), 1e-8, np.float32)
+        weights[0, 5] = 1.0  # all mass in bin [0.5, 0.6]
+        s = np.asarray(sample_pdf(jax.random.key(1), bins, jnp.asarray(weights), 64))
+        frac_in_bin = np.mean((s >= 0.5) & (s <= 0.6))
+        assert frac_in_bin > 0.95
+
+
+class TestRaw2Outputs:
+    def test_opaque_wall(self):
+        # One huge sigma at sample 2 -> all weight there, depth = z_2.
+        z = jnp.asarray([[1.0, 2.0, 3.0, 4.0]], jnp.float32)
+        raw = jnp.asarray([[[0.0], [0.0], [1e8], [0.0]]], jnp.float32)
+        d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+        out = raw2outputs(raw, z, d, sigma_only=True, far=jnp.asarray([[10.0]]))
+        assert out["depth"][0] == pytest.approx(3.0, abs=1e-4)
+        assert out["opacity"][0] == pytest.approx(1.0, abs=1e-4)
+
+    def test_empty_space_far_depth(self):
+        # Zero sigma everywhere -> weights 0, depth = far (residual bin).
+        z = jnp.asarray([[1.0, 2.0, 3.0]], jnp.float32)
+        raw = jnp.zeros((1, 3, 1), jnp.float32)
+        out = raw2outputs(
+            raw, z, jnp.asarray([[1.0, 0.0, 0.0]]), sigma_only=True, far=jnp.asarray([[9.0]])
+        )
+        assert out["depth"][0] == pytest.approx(9.0, abs=1e-5)
+        assert out["opacity"][0] == pytest.approx(0.0, abs=1e-5)
+
+    def test_hand_computed_alpha(self):
+        # sigma=1 at both samples, delta=1 and inf:
+        # a1 = 1-e^-1; T2 = (1-a1); a2 = 1 (delta inf)
+        z = jnp.asarray([[1.0, 2.0]], jnp.float32)
+        raw = jnp.ones((1, 2, 1), jnp.float32)
+        out = raw2outputs(raw, z, jnp.asarray([[1.0, 0.0, 0.0]]), sigma_only=True)
+        a1 = 1 - np.exp(-1.0)
+        w = np.asarray(out["weights"][0])
+        assert w[0] == pytest.approx(a1, abs=1e-5)
+        assert w[1] == pytest.approx(1 - a1, rel=1e-4)
+
+    def test_variance_zero_for_delta(self):
+        z = jnp.asarray([[1.0, 2.0, 3.0, 4.0]], jnp.float32)
+        raw = jnp.asarray([[[0.0], [1e8], [0.0], [0.0]]], jnp.float32)
+        out = raw2outputs(
+            raw, z, jnp.asarray([[1.0, 0.0, 0.0]]), sigma_only=True,
+            far=jnp.asarray([[10.0]]), ret_var=True,
+        )
+        assert out["variance"][0] == pytest.approx(0.0, abs=1e-3)
+
+    def test_direction_norm_scales_deltas(self):
+        z = jnp.asarray([[1.0, 2.0]], jnp.float32)
+        raw = jnp.ones((1, 2, 1), jnp.float32)
+        out1 = raw2outputs(raw, z, jnp.asarray([[1.0, 0, 0]]), sigma_only=True)
+        out2 = raw2outputs(raw, z, jnp.asarray([[2.0, 0, 0]]), sigma_only=True)
+        # doubled |d| doubles delta: a = 1 - e^-2
+        assert out2["weights"][0, 0] == pytest.approx(1 - np.exp(-2.0), abs=1e-5)
+        assert out1["weights"][0, 0] == pytest.approx(1 - np.exp(-1.0), abs=1e-5)
+
+
+class TestLosses:
+    def test_weights_gt_normalized_and_supported(self):
+        z = jnp.asarray(np.linspace(0, 10, 100)[None].repeat(4, 0), jnp.float32)
+        gt = jnp.asarray([[3.0], [5.0], [7.0], [9.0]], jnp.float32)
+        w = np.asarray(get_weights_gt(z, gt, eps=1.0))
+        np.testing.assert_allclose(w.sum(1), 1.0, atol=1e-3)
+        zs = np.asarray(z)
+        outside = (zs < np.asarray(gt) - 1.0) | (zs > np.asarray(gt) + 1.0)
+        assert np.all(w[outside] == 0)
+        # Peak at the sample nearest to gt depth.
+        for i in range(4):
+            nearest = np.argmin(np.abs(zs[i] - float(gt[i, 0])))
+            assert abs(int(np.argmax(w[i])) - int(nearest)) <= 1
+
+    def test_weights_gt_matches_reference_formula(self):
+        # Independent recomputation of the reference's truncated-Gaussian
+        # target (losses.py:29-51) in numpy.
+        from scipy.stats import norm as scipy_norm
+
+        z = np.linspace(0, 10, 50, dtype=np.float32)[None]
+        gt = np.asarray([[4.0]], np.float32)
+        eps = 0.8
+        sigma = eps / 3
+        raw = scipy_norm.pdf((z - gt) / sigma) / sigma / (
+            scipy_norm.cdf(3) - scipy_norm.cdf(-3)
+        )
+        raw[(z < gt - eps) | (z > gt + eps)] = 0
+        expected = raw / (raw.sum(1, keepdims=True) + 1e-6)
+        ours = np.asarray(get_weights_gt(jnp.asarray(z), jnp.asarray(gt), eps))
+        np.testing.assert_allclose(ours, expected, atol=1e-4)
+
+    def test_per_ray_eps(self):
+        z = jnp.asarray(np.linspace(0, 10, 100)[None].repeat(2, 0), jnp.float32)
+        gt = jnp.asarray([[5.0], [5.0]], jnp.float32)
+        eps = jnp.asarray([[0.5], [2.0]], jnp.float32)
+        w = np.asarray(get_weights_gt(z, gt, eps))
+        support = (w > 0).sum(1)
+        assert support[1] > support[0] * 2
+
+    def test_logits_grad_bands(self):
+        z = jnp.asarray([[0.0, 5.0, 9.5, 10.0, 10.5, 13.0]], jnp.float32)
+        d = jnp.asarray([[10.0]], jnp.float32)
+        g = np.asarray(get_logits_grad(z, d, eps=2.0))
+        np.testing.assert_allclose(g[0], [0.25, 0.25, -2.5, -2.5, -2.5, 0.0], atol=1e-6)
+
+    def test_kl_identical_zero(self):
+        kl = kl_divergence_gaussian(jnp.asarray(1.0), jnp.asarray(0.5), jnp.asarray(1.0), jnp.asarray(0.5))
+        assert float(kl) == pytest.approx(0.0, abs=1e-7)
+
+    def test_js_symmetric_positive(self):
+        m1, s1 = jnp.asarray(1.0), jnp.asarray(0.3)
+        m2, s2 = jnp.asarray(2.0), jnp.asarray(0.6)
+        a = float(js_divergence_gaussian(m1, s1, m2, s2))
+        b = float(js_divergence_gaussian(m2, s2, m1, s1))
+        assert a == pytest.approx(b, rel=1e-6)
+        assert a > 0
+
+
+class TestOccupancyGrid:
+    def test_matches_torch_grid_sample(self):
+        import torch
+
+        rng = np.random.default_rng(0)
+        grid = rng.normal(size=(16, 16, 16)).astype(np.float32)
+        pts = rng.uniform(-0.95, 0.95, (64, 3)).astype(np.float32)
+
+        ours = np.asarray(interpolate_occ_logits(jnp.asarray(grid), jnp.asarray(pts)))
+
+        t_grid = torch.from_numpy(grid)[None, None]  # (1, 1, D, H, W)
+        t_pts = torch.from_numpy(pts)[None, None, None]  # (1, 1, 1, N, 3)
+        theirs = torch.nn.functional.grid_sample(
+            t_grid, t_pts, mode="bilinear", align_corners=False
+        ).reshape(-1).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    def test_update_moves_logits(self):
+        grid = init_occ_grid(16)
+        pts = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+        g = jnp.asarray([-1.0], jnp.float32)  # push logits up (grad descent)
+        new = occ_grid_update(grid, pts, g, lr=0.1)
+        val = float(interpolate_occ_logits(new, pts)[0])
+        assert val > 0
+
+
+class TestRenderRays:
+    def _make_rays(self, n=8):
+        rng = np.random.default_rng(0)
+        o = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        near = np.full((n,), 0.01, np.float32)
+        far = np.full((n,), 0.8, np.float32)
+        return pack_rays(jnp.asarray(o), jnp.asarray(d), jnp.asarray(near), jnp.asarray(far))
+
+    def test_uniform_sampler_shapes(self):
+        cfg = FieldConfig(
+            pos_encoding_sigma=HashEncodingConfig(n_levels=4),
+            pos_encoding_intensity=HashEncodingConfig(n_levels=4, log2_hashmap_size=16),
+        )
+        params = init_field_params(jax.random.key(0), cfg)
+        rays = self._make_rays(8)
+        out = render_rays(
+            jax.random.key(1), rays, params, cfg, UniformRaySampler(),
+            n_samples=32, perturb=1.0, sigma_only=True, ret_var=True,
+        )
+        assert out["depth"].shape == (8,)
+        assert out["weights"].shape == (8, 32)
+        assert out["z_vals"].shape == (8, 32)
+        assert out["variance"].shape == (8,)
+        assert np.all(np.isfinite(np.asarray(out["depth"])))
+
+    def test_occ_sampler_sorted_in_range(self):
+        cfg = FieldConfig(pos_encoding_sigma=HashEncodingConfig(n_levels=4))
+        rays = self._make_rays(4)
+        occ = init_occ_grid(16)
+        z = OccGridRaySampler().get_samples(jax.random.key(2), rays, 32, 1.0, occ)
+        z = np.asarray(z)
+        assert z.shape == (4, 32)
+        assert np.all(np.diff(z, axis=-1) >= 0)
+        assert z.min() >= 0.009 and z.max() <= 0.81
+
+    def test_color_mode(self):
+        cfg = FieldConfig(
+            pos_encoding_sigma=HashEncodingConfig(n_levels=2),
+            pos_encoding_intensity=HashEncodingConfig(n_levels=2, log2_hashmap_size=16),
+        )
+        params = init_field_params(jax.random.key(3), cfg)
+        rays = self._make_rays(4)
+        out = render_rays(
+            jax.random.key(4), rays, params, cfg, UniformRaySampler(),
+            n_samples=16, sigma_only=False,
+        )
+        assert out["rgb"].shape == (4, 3)
+        rgb = np.asarray(out["rgb"])
+        assert rgb.min() >= 0 and rgb.max() <= 1
+
+    def test_detach_sigma_blocks_gradient(self):
+        cfg = FieldConfig(
+            pos_encoding_sigma=HashEncodingConfig(n_levels=2),
+            pos_encoding_intensity=HashEncodingConfig(n_levels=2, log2_hashmap_size=16),
+        )
+        params = init_field_params(jax.random.key(5), cfg)
+        pos = jnp.asarray(np.random.default_rng(2).uniform(-0.5, 0.5, (8, 3)), jnp.float32)
+        dirs = pos / jnp.linalg.norm(pos, axis=-1, keepdims=True)
+
+        def loss_detached(p):
+            return query_field(p, pos, dirs, cfg, sigma_only=False, detach_sigma=True).sum()
+
+        g = jax.grad(loss_detached)(params)
+        assert float(jnp.abs(g["sigma"]["table"]).sum()) == 0
+        assert float(jnp.abs(g["intensity"]["table"]).sum()) > 0
+
+        def loss_joint(p):
+            return query_field(p, pos, dirs, cfg, sigma_only=False, detach_sigma=False).sum()
+
+        g2 = jax.grad(loss_joint)(params)
+        assert float(jnp.abs(g2["sigma"]["table"]).sum()) > 0
+
+    def test_sigma_query_jits(self):
+        cfg = FieldConfig(pos_encoding_sigma=HashEncodingConfig(n_levels=4))
+        params = init_field_params(jax.random.key(6), cfg)
+        f = jax.jit(lambda p, x: query_sigma(p, x, cfg))
+        out = f(params, jnp.zeros((16, 3), jnp.float32))
+        assert out.shape == (16, 1)
