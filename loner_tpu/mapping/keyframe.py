@@ -1,0 +1,87 @@
+"""KeyFrame: a Frame elected for map optimization, plus pose bookkeeping.
+
+TPU-native counterpart of the reference KeyFrame
+(src/mapping/keyframe.py:24-135). The optimizable pose is a 6-twist numpy
+vector (fed into the jitted phase runner as a row of the window twist
+array); the tracked-pose snapshot supports re-basing new keyframes onto
+optimized references and the trajectory splice at shutdown.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from loner_tpu.common.frame import Frame
+from loner_tpu.common.pose import Pose
+
+
+class KeyFrame:
+    def __init__(self, frame: Frame) -> None:
+        self._frame = frame
+        self._tracked_lidar_pose: Pose = frame.get_lidar_pose().clone()
+        self.is_anchored = False
+
+    def __repr__(self) -> str:
+        return f"KeyFrame({self._frame})"
+
+    # -- accessors -------------------------------------------------------------
+    def get_lidar_pose(self) -> Pose:
+        return self._frame.get_lidar_pose()
+
+    def set_lidar_pose(self, pose: Pose) -> None:
+        self._frame._lidar_pose = pose
+
+    def get_camera_pose(self) -> Optional[Pose]:
+        return self._frame.get_camera_pose()
+
+    def get_lidar_scan(self):
+        return self._frame.lidar_points
+
+    def get_time(self) -> float:
+        return self._frame.get_time()
+
+    # -- optimizer interface ------------------------------------------------
+    def scan_dirs(self) -> np.ndarray:
+        """(3, N) sensor-frame ray directions (MASK strategy: pre-filtered)."""
+        scan = self._frame.lidar_points
+        if scan.mask is not None:
+            return scan.ray_directions[:, scan.mask]
+        return scan.ray_directions
+
+    def scan_depths(self) -> np.ndarray:
+        scan = self._frame.lidar_points
+        if scan.mask is not None:
+            return scan.distances[scan.mask]
+        return scan.distances
+
+    def sky_dirs(self) -> Optional[np.ndarray]:
+        """(3, M) SENSOR-frame sky directions or None.
+
+        Note: the reference stores sky rays world-frame and then rotates
+        them by the (detached) keyframe pose again when building rays
+        (tracker.py:292-296 + ray_utils.py:293) — a double rotation. We
+        store sensor-frame so the builder's single rotation is correct.
+        """
+        return self._frame.lidar_points.sky_rays
+
+    def pose_twist(self, use_gt: bool = False) -> np.ndarray:
+        pose = self._frame._gt_lidar_pose if use_gt else self._frame.get_lidar_pose()
+        return pose.to_twist().astype(np.float32)
+
+    def set_pose_twist(self, twist: np.ndarray) -> None:
+        self._frame._lidar_pose = Pose.from_twist(np.asarray(twist, np.float64))
+
+    # -- checkpoint schema (reference keyframe.py:126-135) --------------------
+    def get_pose_state(self) -> dict:
+        lidar_to_camera = self._frame._lidar_to_camera
+        gt = self._frame._gt_lidar_pose
+        return {
+            "timestamp": float(self.get_time()),
+            "lidar_to_camera": None
+            if lidar_to_camera is None
+            else lidar_to_camera.to_twist(),
+            "lidar_pose": self.get_lidar_pose().to_twist(),
+            "gt_lidar_pose": None if gt is None else gt.to_twist(),
+            "tracked_pose": self._tracked_lidar_pose.to_twist(),
+        }

@@ -1,0 +1,179 @@
+"""Mapper: top-level mapping module — keyframe gating + optimization +
+checkpointing.
+
+TPU-native counterpart of the reference Mapper (src/mapping/mapper.py:
+30-180). Drains the frame signal, elects keyframes, runs the windowed
+optimization, emits pose states, and writes checkpoints with the
+reference's cadence and file naming (ckpt_<kf>.tar per keyframe — poses
+only at DISABLED/STANDARD off-cycle, full state every 10 at STANDARD /
+every keyframe at VERBOSE — and final.tar at shutdown).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Optional, Union
+
+import numpy as np
+
+from loner_tpu.common.frame import Frame
+from loner_tpu.common.signals import Signal, SharedState, StopSignal
+from loner_tpu.common.world_cube import WorldCube
+from loner_tpu.mapping.keyframe_manager import KeyFrameManager
+from loner_tpu.mapping.optimizer import Optimizer, OptimizerConfig
+from loner_tpu.models.field import FieldConfig
+
+
+def save_checkpoint(path: str, ckpt: dict) -> None:
+    """Checkpoints are pickled dicts of numpy arrays (keeps the reference's
+    .tar file naming so the analysis CLI contract is unchanged)."""
+    with open(path, "wb") as f:
+        pickle.dump(ckpt, f)
+
+
+def load_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+class Mapper:
+    def __init__(
+        self,
+        settings,
+        frame_signal: Signal,
+        keyframe_update_signal: Signal,
+        world_cube: WorldCube,
+        optimizer: Optional[Optimizer] = None,
+        enable_sky_segmentation: bool = False,
+    ) -> None:
+        self._frame_slot = frame_signal.register()
+        self._keyframe_update_signal = keyframe_update_signal
+        self._settings = settings
+        self._world_cube = world_cube
+
+        self._keyframe_manager = KeyFrameManager(settings.keyframe_manager)
+
+        if optimizer is None:
+            model_cfg = settings.optimizer.model_config
+            opt_cfg = OptimizerConfig.from_settings(settings.optimizer, model_cfg)
+            if enable_sky_segmentation and settings.optimizer.num_samples.sky > 0:
+                opt_cfg = type(opt_cfg)(**{**opt_cfg.__dict__, "enable_sky": True})
+            field_cfg = FieldConfig.from_settings(
+                model_cfg.model.nerf_config, int(model_cfg.model.num_colors)
+            )
+            optimizer = Optimizer(
+                opt_cfg,
+                field_cfg,
+                world_cube.scale_factor,
+                world_cube.shift,
+                settings.optimizer.keyframe_schedule,
+                skip_pose_refinement=bool(settings.optimizer.skip_pose_refinement),
+                use_gt_poses=bool(settings.debug.get("use_groundtruth_poses", False)),
+                freeze_poses=bool(settings.optimizer.freeze_poses),
+                log_directory=settings.get("log_directory"),
+            )
+        self._optimizer = optimizer
+
+        self.processed_stop_signal = False
+        self._shared_state: Optional[SharedState] = None
+        self._optimizer_enabled = bool(settings.optimizer.get("enabled", True))
+        self._log_level = settings.get("log_level", "DISABLED")
+        self._log_directory = settings.get("log_directory", ".")
+        os.makedirs(f"{self._log_directory}/checkpoints", exist_ok=True)
+
+    @property
+    def optimizer(self) -> Optimizer:
+        return self._optimizer
+
+    @property
+    def keyframe_manager(self) -> KeyFrameManager:
+        return self._keyframe_manager
+
+    def update(self) -> None:
+        tic = time.time()
+        did_map_frame = False
+
+        if self._frame_slot.has_value():
+            new_frame: Union[StopSignal, Frame] = self._frame_slot.get_value()
+            if isinstance(new_frame, StopSignal):
+                self.processed_stop_signal = True
+                return
+
+            if self._settings.debug.get("use_groundtruth_poses", False):
+                new_frame._lidar_pose = new_frame._gt_lidar_pose
+
+            new_keyframe = self._keyframe_manager.process_frame(new_frame)
+            accepted = new_keyframe is not None
+
+            if self._shared_state is not None:
+                self._shared_state.last_mapped_frame_time = (
+                    self._keyframe_manager.get_last_mapped_time()
+                )
+
+            if self._optimizer_enabled and accepted:
+                window = self._keyframe_manager.get_active_window()
+                self._optimizer.iterate_optimizer(window)
+
+                pose_state = self._keyframe_manager.get_poses_state()
+                kf_idx = self._optimizer._keyframe_count - 1
+
+                if (kf_idx % 10 == 0 and self._log_level == "STANDARD") or (
+                    self._log_level == "VERBOSE"
+                ):
+                    save_checkpoint(
+                        f"{self._log_directory}/checkpoints/ckpt_{kf_idx}.tar",
+                        self.build_ckpt(),
+                    )
+                else:
+                    save_checkpoint(
+                        f"{self._log_directory}/checkpoints/ckpt_{kf_idx}.tar",
+                        {
+                            "global_step": self._optimizer.state.global_step,
+                            "poses": pose_state,
+                        },
+                    )
+
+                self._keyframe_update_signal.emit(pose_state)
+                did_map_frame = True
+        else:
+            if self._shared_state is not None:
+                t = self._keyframe_manager.get_last_mapped_time()
+                if t is not None:
+                    self._shared_state.last_mapped_frame_time = t
+
+        if did_map_frame and self._settings.debug.get("log_times", False):
+            with open(f"{self._log_directory}/map_times.csv", "a+") as f:
+                f.write(f"{time.time() - tic}\n")
+
+    def run(self, shared_state: SharedState) -> None:
+        self._shared_state = shared_state
+        while not self.processed_stop_signal:
+            self.update()
+            time.sleep(1e-4)
+        self.finish()
+        print("Mapping Done.")
+
+    def build_ckpt(self) -> dict:
+        """Full checkpoint (reference mapper.py:161-175 schema)."""
+        opt = self._optimizer
+        ckpt = {
+            "global_step": opt.state.global_step,
+            "network_state_dict": jax_tree_to_numpy(opt.state.field_params),
+            "poses": self._keyframe_manager.get_poses_state(),
+            "world_cube": self._world_cube.as_dict(),
+        }
+        if opt._cfg.samples_strategy == "OGM":
+            ckpt["occ_model_state_dict"] = np.asarray(opt.state.occ_grid)
+        return ckpt
+
+    def finish(self) -> None:
+        path = f"{self._log_directory}/checkpoints/final.tar"
+        print("Saving Last Checkpoint to", path)
+        save_checkpoint(path, self.build_ckpt())
+
+
+def jax_tree_to_numpy(tree):
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x), tree)

@@ -1,0 +1,460 @@
+"""Windowed joint pose+map optimization — the mapping hot loop.
+
+TPU-native counterpart of the reference Optimizer
+(src/mapping/optimizer.py:62-626). One optimization iteration is ONE
+jitted program with donated (in-place HBM) state, doing fully on device:
+
+  ray-index sampling from HBM-resident keyframe buffers
+  -> differentiable ray building from pose twists
+  -> occupancy-grid importance sampling
+  -> hash-field query + alpha compositing
+  -> JS dynamic-margin loss
+  -> grad + masked multi-LR Adam update (+ periodic occ-grid SGD step)
+
+versus the reference's per-iteration Python loop with CPU ray building and
+host->device copies every step (optimizer.py:276-391). The host loop only
+enqueues steps (XLA async dispatch pipelines them); no value is fetched
+until the phase ends. Freeze flags become gradient masks instead of
+``requires_grad`` flips; a fresh Adam state per phase matches the
+reference's per-phase ``torch.optim.Adam`` construction
+(optimizer.py:257-267). The keyframe schedule, pose-refinement skipping,
+anchoring, and latest-kf-only semantics are preserved.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from loner_tpu.mapping.loss import LossConfig, compute_lidar_loss
+from loner_tpu.mapping.rays import WindowBuffers, build_window_buffers, sample_and_build_rays
+from loner_tpu.models.field import FieldConfig, init_field_params
+from loner_tpu.models.occupancy_grid import init_occ_grid, occ_grid_update
+from loner_tpu.models.losses import get_logits_grad
+from loner_tpu.models.rendering import OccGridRaySampler, UniformRaySampler
+
+
+@dataclass(frozen=True)
+class PhaseSettings:
+    """One entry of an iteration schedule (cfg/defaults.yaml:76-97)."""
+
+    num_iterations: int = 1
+    freeze_poses: bool = False
+    latest_kf_only: bool = False
+    freeze_sigma_mlp: bool = False
+    freeze_rgb_mlp: bool = True
+
+    @staticmethod
+    def from_dict(d: dict) -> "PhaseSettings":
+        return PhaseSettings(
+            num_iterations=int(d.get("num_iterations", 1)),
+            freeze_poses=bool(d.get("freeze_poses", False)),
+            latest_kf_only=bool(d.get("latest_kf_only", False)),
+            freeze_sigma_mlp=bool(d.get("freeze_sigma_mlp", False)),
+            freeze_rgb_mlp=bool(d.get("freeze_rgb_mlp", True)),
+        )
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    """Hyper-parameters of the mapping optimization (static under jit)."""
+
+    n_lidar_samples: int = 512
+    n_sky_samples: int = 64
+    n_samples_per_ray: int = 512
+    perturb: float = 1.0
+    raw_noise_std: float = 1.0
+    lr_sigma: float = 0.01
+    lr_pose: float = 0.001
+    lr_gamma: float = 1.0
+    samples_strategy: str = "OGM"  # or UNIFORM
+    rays_strategy: str = "RANDOM"  # or FIXED
+    occ_voxel_size: int = 100
+    occ_lr: float = 1e-4
+    occ_update_every: int = 10
+    ray_range: Tuple[float, float] = (1.0, 10.0)
+    window_size: int = 8
+    enable_sky: bool = False
+    loss: LossConfig = LossConfig()
+
+    @staticmethod
+    def from_settings(opt_settings, model_cfg) -> "OptimizerConfig":
+        """From reference-format settings (mapper.optimizer + model_config)."""
+        render = model_cfg.model.render
+        occ = model_cfg.model.occ_model
+        train = model_cfg.train
+        return OptimizerConfig(
+            n_lidar_samples=int(opt_settings.num_samples.lidar),
+            n_sky_samples=int(opt_settings.num_samples.sky),
+            n_samples_per_ray=int(render.N_samples_train),
+            perturb=float(render.perturb),
+            raw_noise_std=float(render.raw_noise_std),
+            lr_sigma=float(train.lrate_sigma_mlp),
+            lr_pose=float(train.lrate_pose),
+            lr_gamma=float(train.lrate_gamma),
+            samples_strategy=str(opt_settings.samples_selection.strategy),
+            rays_strategy=str(opt_settings.rays_selection.strategy),
+            occ_voxel_size=int(occ.voxel_size),
+            occ_lr=float(occ.lr),
+            occ_update_every=int(occ.N_iters_acc),
+            ray_range=tuple(float(x) for x in model_cfg.model.ray_range),
+            loss=LossConfig.from_settings(model_cfg.loss),
+        )
+
+
+@dataclass
+class MapState:
+    """All device-resident optimizer state (a pytree of arrays)."""
+
+    field_params: Dict[str, Any]
+    occ_grid: Optional[jax.Array]
+    global_step: int = 0
+
+
+def _adam_with_schedule(lr: float, gamma: float) -> optax.GradientTransformation:
+    if gamma == 1.0:
+        return optax.adam(lr)
+    return optax.adam(lambda step: lr * gamma ** step)
+
+
+def make_phase_runner(
+    cfg: OptimizerConfig,
+    field_cfg: FieldConfig,
+    phase: PhaseSettings,
+    window_size: int,
+    point_pad: int,
+    sky_pad: int,
+    encode_fn=None,
+):
+    """Build the runner for an optimization phase: a jitted single
+    ITERATION (sample -> build rays -> render -> loss -> masked multi-LR
+    Adam -> periodic occ update) plus a host dispatch loop.
+
+    One iteration per dispatch rather than a lax.scan over the whole
+    phase: the scan variant compiles a program the TPU toolchain chokes on
+    at full scale, while the single-step program compiles in ~1 min and is
+    SHARED between the 50-iter and 1000-iter phases (num_iterations is not
+    baked in). XLA's async dispatch keeps the device saturated — the host
+    enqueues the next step while the previous executes; nothing is fetched
+    until the phase ends.
+
+    Static: hyperparameters, freeze flags, buffer shapes. Donated: params,
+    optimizer state, occupancy grid (in-place HBM updates).
+    """
+    use_occ = cfg.samples_strategy == "OGM"
+    sampler = OccGridRaySampler() if use_occ else UniformRaySampler()
+    n_sky = cfg.n_sky_samples if cfg.enable_sky else 0
+    optimize_poses = not phase.freeze_poses
+    optimize_sigma = not phase.freeze_sigma_mlp
+
+    tx = optax.multi_transform(
+        {
+            "sigma": _adam_with_schedule(cfg.lr_sigma, cfg.lr_gamma),
+            "twists": _adam_with_schedule(cfg.lr_pose, cfg.lr_gamma),
+        },
+        param_labels=lambda tree: {
+            "sigma": jax.tree.map(lambda _: "sigma", tree["sigma"]),
+            "twists": "twists",
+        },
+    )
+
+    def loss_fn(opt_params, static_intensity, occ_grid, buffers, world_scale,
+                world_shift, key, it_idx, global_step):
+        field_params = {
+            "sigma": opt_params["sigma"],
+            "intensity": static_intensity,
+        }
+        k_rays, k_render = jax.random.split(key)
+        rays, depths_cube, valid = sample_and_build_rays(
+            k_rays,
+            buffers,
+            opt_params["twists"],
+            world_scale,
+            world_shift,
+            cfg.ray_range,
+            cfg.n_lidar_samples,
+            n_sky,
+            fixed_indices=(cfg.rays_strategy == "FIXED"),
+        )
+        return compute_lidar_loss(
+            k_render,
+            rays,
+            depths_cube,
+            valid,
+            field_params,
+            field_cfg,
+            sampler,
+            occ_grid if use_occ else None,
+            cfg.loss,
+            world_scale,
+            cfg.n_samples_per_ray,
+            cfg.perturb,
+            cfg.raw_noise_std,
+            it_idx,
+            global_step,
+            encode_fn=encode_fn,
+        )
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(
+        opt_params,
+        opt_state,
+        occ_grid,
+        static_intensity,
+        buffers: WindowBuffers,
+        pose_mask: jax.Array,
+        world_scale: jax.Array,
+        world_shift: jax.Array,
+        it_idx: jax.Array,
+        global_step: jax.Array,
+        key: jax.Array,
+    ):
+        (loss, aux), grads = grad_fn(
+            opt_params, static_intensity, occ_grid, buffers,
+            world_scale, world_shift, key, it_idx.astype(jnp.float32),
+            global_step.astype(jnp.float32),
+        )
+        # Freeze semantics as gradient masks (reference toggles
+        # requires_grad / builds per-phase param groups instead).
+        g_twists = grads["twists"] * pose_mask[:, None]
+        if not optimize_poses:
+            g_twists = jnp.zeros_like(g_twists)
+        g_sigma = grads["sigma"]
+        if not optimize_sigma:
+            g_sigma = jax.tree.map(jnp.zeros_like, g_sigma)
+        grads = {"sigma": g_sigma, "twists": g_twists}
+
+        updates, opt_state = tx.update(grads, opt_state, opt_params)
+        opt_params = optax.apply_updates(opt_params, updates)
+
+        if use_occ:
+            def do_occ(og):
+                logits_grad = get_logits_grad(aux["z_m"], aux["depths_gt_m"][:, None])
+                logits_grad = logits_grad * aux["valid"][:, None]
+                return occ_grid_update(
+                    og, jax.lax.stop_gradient(aux["points"]), logits_grad, cfg.occ_lr
+                )
+
+            occ_grid = jax.lax.cond(
+                global_step % cfg.occ_update_every == 0, do_occ, lambda og: og, occ_grid
+            )
+
+        return opt_params, opt_state, occ_grid, loss, aux["depth_eps"]
+
+    def run_phase(
+        field_params: Dict[str, Any],
+        occ_grid: jax.Array,
+        twists: jax.Array,  # (W, 6)
+        buffers: WindowBuffers,
+        pose_mask: jax.Array,  # (W,) 1.0 where the pose may move
+        world_scale: jax.Array,
+        world_shift: jax.Array,
+        global_step0,
+        key: jax.Array,
+        num_iterations: int = None,
+    ):
+        n_iters = phase.num_iterations if num_iterations is None else num_iterations
+        opt_params = {"sigma": field_params["sigma"], "twists": twists}
+        opt_state = tx.init(opt_params)
+        static_intensity = field_params["intensity"]
+        step0 = int(global_step0)
+
+        losses, eps_log = [], []
+        keys = jax.random.split(key, n_iters)
+        for i in range(n_iters):
+            opt_params, opt_state, occ_grid, loss, eps = step(
+                opt_params, opt_state, occ_grid, static_intensity, buffers,
+                pose_mask, world_scale, world_shift,
+                jnp.asarray(i, jnp.int32), jnp.asarray(step0 + i, jnp.int32),
+                keys[i],
+            )
+            losses.append(loss)
+            eps_log.append(eps)
+
+        new_field = {"sigma": opt_params["sigma"], "intensity": static_intensity}
+        return (
+            new_field,
+            occ_grid,
+            opt_params["twists"],
+            jnp.stack(losses),
+            jnp.stack(eps_log),
+        )
+
+    return run_phase
+
+
+class Optimizer:
+    """Host-side driver: keyframe schedule + phase runner cache + state.
+
+    Mirrors the reference Optimizer's public behavior
+    (iterate_optimizer over a keyframe window, optimizer.py:144-192) while
+    owning the device-resident MapState.
+    """
+
+    def __init__(
+        self,
+        cfg: OptimizerConfig,
+        field_cfg: FieldConfig,
+        world_scale: float,
+        world_shift: np.ndarray,
+        keyframe_schedule: List[dict],
+        skip_pose_refinement: bool = True,
+        use_gt_poses: bool = False,
+        freeze_poses: bool = False,
+        seed: int = 0,
+        encode_fn=None,
+        log_directory: Optional[str] = None,
+    ) -> None:
+        self._cfg = cfg
+        self._field_cfg = field_cfg
+        self._world_scale = jnp.asarray(world_scale, jnp.float32)
+        self._world_shift = jnp.asarray(world_shift, jnp.float32)
+        self._keyframe_schedule = keyframe_schedule
+        self._skip_pose_refinement = skip_pose_refinement
+        self._use_gt_poses = use_gt_poses
+        self._freeze_poses = freeze_poses
+        self._encode_fn = encode_fn
+        self._log_directory = log_directory
+
+        key = jax.random.key(seed)
+        k_field, self._key = jax.random.split(key)
+        self.state = MapState(
+            field_params=init_field_params(k_field, field_cfg),
+            occ_grid=init_occ_grid(cfg.occ_voxel_size)
+            if cfg.samples_strategy == "OGM"
+            else jnp.zeros((1, 1, 1), jnp.float32),
+        )
+        self._keyframe_count = 0
+        self._runner_cache: Dict[tuple, Any] = {}
+        self.last_losses: Optional[np.ndarray] = None
+        self.last_depth_eps: Optional[np.ndarray] = None
+
+    # -- schedule ------------------------------------------------------------
+    def _select_schedule(self) -> List[PhaseSettings]:
+        """Pick the iteration schedule for the current keyframe count
+        (reference optimizer.py:146-156)."""
+        cumulative = 0
+        schedule = self._keyframe_schedule[-1]["iteration_schedule"]
+        for item in self._keyframe_schedule:
+            cumulative += item["num_keyframes"]
+            if cumulative >= self._keyframe_count + 1 or item["num_keyframes"] == -1:
+                schedule = item["iteration_schedule"]
+                break
+        phases = [PhaseSettings.from_dict(p) for p in schedule]
+        if len(phases) > 1 and self._skip_pose_refinement:
+            phases = phases[1:]  # reference optimizer.py:200-201
+        return phases
+
+    def _get_runner(self, phase: PhaseSettings, w: int, p: int, ps: int):
+        # num_iterations is NOT part of the compiled step: the 50-iter and
+        # 1000-iter phases share one jitted program.
+        cache_key = (replace(phase, num_iterations=0), w, p, ps)
+        if cache_key not in self._runner_cache:
+            self._runner_cache[cache_key] = make_phase_runner(
+                self._cfg, self._field_cfg, phase, w, p, ps, self._encode_fn
+            )
+        return self._runner_cache[cache_key]
+
+    # -- main entry ------------------------------------------------------------
+    def iterate_optimizer(self, window: List["KeyFrame"]) -> float:
+        """Run the full iteration schedule on a keyframe window.
+
+        The window is a list of mapping.keyframe.KeyFrame; optimized poses
+        are written back into the keyframes (twist convention).
+        """
+        from loner_tpu.mapping.keyframe import KeyFrame  # circular-safe
+
+        start_time = time.time()
+
+        if len(window) == 1:
+            window[0].is_anchored = True  # reference optimizer.py:197-198
+
+        phases = self._select_schedule()
+        num_its = sum(p.num_iterations for p in phases)
+
+        w = self._cfg.window_size
+        buffers = build_window_buffers(
+            [kf.scan_dirs() for kf in window],
+            [kf.scan_depths() for kf in window],
+            [kf.sky_dirs() for kf in window],
+            w,
+        )
+        p = buffers.dirs.shape[1]
+        ps = buffers.sky_dirs.shape[1]
+
+        m = len(window)
+        twists = np.zeros((w, 6), np.float32)
+        anchored = np.zeros((w,), np.float32)
+        for i in range(w):
+            j = min(i, m - 1)
+            twists[i] = window[j].pose_twist(self._use_gt_poses)
+            anchored[i] = 1.0 if (window[j].is_anchored or i >= m) else 0.0
+        twists = jnp.asarray(twists)
+
+        all_losses, all_eps = [], []
+        for phase in phases:
+            freeze_poses = (
+                phase.freeze_poses or self._freeze_poses or self._use_gt_poses
+            )
+            eff_phase = replace(phase, freeze_poses=freeze_poses)
+
+            pose_mask = (1.0 - anchored).copy()
+            if eff_phase.latest_kf_only:
+                latest_only = np.zeros_like(pose_mask)
+                latest_only[m - 1] = 1.0
+                pose_mask = pose_mask * latest_only
+            pose_mask = jnp.asarray(pose_mask)
+
+            runner = self._get_runner(eff_phase, w, p, ps)
+            self._key, sub = jax.random.split(self._key)
+            (
+                self.state.field_params,
+                self.state.occ_grid,
+                twists,
+                losses,
+                eps_log,
+            ) = runner(
+                self.state.field_params,
+                self.state.occ_grid,
+                twists,
+                buffers,
+                pose_mask,
+                self._world_scale,
+                self._world_shift,
+                self.state.global_step,
+                sub,
+                num_iterations=eff_phase.num_iterations,
+            )
+            self.state.global_step += eff_phase.num_iterations
+            all_losses.append(np.asarray(losses))
+            all_eps.append(np.asarray(eps_log))
+
+        # Fatal non-finite checks (reference optimizer.py:368-374, 590).
+        twists_np = np.asarray(twists)
+        if not np.isfinite(twists_np).all():
+            raise RuntimeError("Fatal: Encountered invalid pose tensor.")
+        self.last_losses = np.concatenate(all_losses)
+        self.last_depth_eps = np.concatenate(all_eps)
+        if not np.isfinite(self.last_losses).all():
+            raise RuntimeError("NaN Loss Encountered")
+
+        # Write optimized poses back into the window keyframes.
+        if not self._use_gt_poses:
+            for i, kf in enumerate(window):
+                kf.set_pose_twist(twists_np[i])
+
+        elapsed = time.time() - start_time
+        if self._log_directory is not None:
+            with open(f"{self._log_directory}/timing.csv", "a+") as f:
+                f.write(f"{num_its},{elapsed}\n")
+
+        self._keyframe_count += 1
+        return float(self.last_losses[-1])

@@ -1,0 +1,200 @@
+"""Device-side differentiable ray building from keyframe point buffers.
+
+TPU-native counterpart of the reference's host-side ray construction
+(src/common/ray_utils.py:269-322, src/mapping/keyframe.py:71-101,
+src/mapping/optimizer.py:285-340). Architectural inversion: instead of
+gathering rays on the CPU each iteration and shipping them to the device,
+every keyframe's full point buffer is padded to a fixed size and kept
+HBM-resident for the whole window optimization; per-iteration ray index
+sampling, pose application, world-cube scaling, and near/far computation
+all happen inside the jitted step. Gradients flow loss -> ray origins &
+directions -> pose twists.
+
+Shapes are static: W window slots x P points (padded); invalid slots/rays
+are masked, never filtered (XLA-friendly).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from loner_tpu.common import se3
+from loner_tpu.models.rendering import pack_rays
+
+
+def get_far_val(origins: jax.Array, dirs: jax.Array, eps: float = 1e-15) -> jax.Array:
+    """Distance along each ray to the exit of the [-1, 1]^3 cube
+    (reference ray_utils.py:31-60). origins/dirs: (N, 3) -> (N,)."""
+    d = dirs + eps
+    t_neg = jnp.maximum((-1.0 - origins) / d, 0.0)
+    t_pos = jnp.maximum((1.0 - origins) / d, 0.0)
+    return jnp.maximum(t_neg, t_pos).min(axis=-1)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class WindowBuffers:
+    """HBM-resident window of keyframe scans, fixed shape.
+
+    dirs:      (W, P, 3) sensor-frame unit ray directions (padded)
+    depths:    (W, P)    measured ranges in meters (padding: 0)
+    counts:    (W,)      valid point count per slot
+    sky_dirs:  (W, PS, 3) sensor-frame sky directions (padded)
+    sky_counts:(W,)      valid sky count per slot
+    slot_valid:(W,)      bool, False for empty window slots
+    """
+
+    dirs: jax.Array
+    depths: jax.Array
+    counts: jax.Array
+    sky_dirs: jax.Array
+    sky_counts: jax.Array
+    slot_valid: jax.Array
+
+
+def _pad_pow2(n: int, minimum: int = 4096) -> int:
+    """Quantized size class: next power of two (bounds recompiles)."""
+    p = minimum
+    while p < n:
+        p *= 2
+    return p
+
+
+def build_window_buffers(
+    scans_dirs: List[np.ndarray],
+    scans_depths: List[np.ndarray],
+    sky_dirs: List[Optional[np.ndarray]],
+    window_size: int,
+    sky_pad: int = 4096,
+) -> WindowBuffers:
+    """Pack host scans into fixed-shape device buffers.
+
+    scans_dirs[i]: (3, N_i) sensor-frame dirs; scans_depths[i]: (N_i,).
+    Empty slots replicate slot 0's data but are masked invalid.
+    """
+    w = window_size
+    m = len(scans_dirs)
+    assert 1 <= m <= w
+    p = _pad_pow2(max(d.shape[1] for d in scans_dirs))
+
+    dirs = np.zeros((w, p, 3), np.float32)
+    depths = np.zeros((w, p), np.float32)
+    counts = np.zeros((w,), np.int32)
+    sdirs = np.zeros((w, sky_pad, 3), np.float32)
+    scounts = np.zeros((w,), np.int32)
+    valid = np.zeros((w,), bool)
+
+    for i in range(w):
+        j = min(i, m - 1)
+        n = scans_dirs[j].shape[1]
+        dirs[i, :n] = scans_dirs[j].T
+        # Padding repeats the first point so gathers stay in-range.
+        dirs[i, n:] = scans_dirs[j][:, 0]
+        depths[i, :n] = scans_depths[j]
+        counts[i] = n
+        if sky_dirs[j] is not None and sky_dirs[j].shape[1] > 0:
+            ns = min(sky_dirs[j].shape[1], sky_pad)
+            sdirs[i, :ns] = sky_dirs[j][:, :ns].T
+            scounts[i] = ns
+        valid[i] = i < m
+
+    return WindowBuffers(
+        jnp.asarray(dirs),
+        jnp.asarray(depths),
+        jnp.asarray(counts),
+        jnp.asarray(sdirs),
+        jnp.asarray(scounts),
+        jnp.asarray(valid),
+    )
+
+
+def sample_and_build_rays(
+    key: jax.Array,
+    buffers: WindowBuffers,
+    twists: jax.Array,  # (W, 6) — differentiable pose parameters
+    world_scale: jax.Array,  # scalar
+    world_shift: jax.Array,  # (3,)
+    ray_range: Tuple[float, float],
+    n_lidar: int,
+    n_sky: int,
+    fixed_indices: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Sample ray indices per slot and build LONER-format rays, on device.
+
+    Returns (rays (B, 11) in cube coords, depths_cube (B,), valid (B,))
+    with B = W * (n_lidar + n_sky). Sky rays use stop_gradient'ed poses and
+    depth = ray_range[1] + 1 (transparent supervision), mirroring
+    keyframe.py:87-101. Rays with < 1 m inside the cube are masked, not
+    dropped (ray_utils.py:318-322).
+    """
+    w, p, _ = buffers.dirs.shape
+    ps = buffers.sky_dirs.shape[1]
+    k_lidar, k_sky = jax.random.split(key)
+
+    if fixed_indices:
+        idx = jnp.broadcast_to(jnp.arange(n_lidar, dtype=jnp.int32), (w, n_lidar))
+        idx = jnp.minimum(idx, buffers.counts[:, None] - 1)
+    else:
+        u = jax.random.uniform(k_lidar, (w, n_lidar))
+        idx = jnp.floor(u * buffers.counts[:, None].astype(u.dtype)).astype(jnp.int32)
+        idx = jnp.minimum(idx, buffers.counts[:, None] - 1)
+
+    dirs_s = jnp.take_along_axis(buffers.dirs, idx[..., None], axis=1)  # (W, n, 3)
+    depths_m = jnp.take_along_axis(buffers.depths, idx, axis=1)  # (W, n)
+    lidar_valid = jnp.broadcast_to(buffers.slot_valid[:, None], (w, n_lidar))
+
+    if n_sky > 0:
+        us = jax.random.uniform(k_sky, (w, n_sky))
+        sidx = jnp.floor(
+            us * jnp.maximum(buffers.sky_counts[:, None], 1).astype(us.dtype)
+        ).astype(jnp.int32)
+        sky_s = jnp.take_along_axis(buffers.sky_dirs, sidx[..., None], axis=1)
+        sky_depths = jnp.full((w, n_sky), ray_range[1] + 1.0, dtype=jnp.float32)
+        sky_valid = buffers.slot_valid[:, None] & (buffers.sky_counts[:, None] > 0)
+        sky_valid = jnp.broadcast_to(sky_valid, (w, n_sky))
+
+        all_dirs = jnp.concatenate([dirs_s, sky_s], axis=1)  # (W, n+s, 3)
+        all_depths = jnp.concatenate([depths_m, sky_depths], axis=1)
+        all_valid = jnp.concatenate([lidar_valid, sky_valid], axis=1)
+        is_sky = jnp.concatenate(
+            [jnp.zeros((w, n_lidar), bool), jnp.ones((w, n_sky), bool)], axis=1
+        )
+    else:
+        all_dirs, all_depths, all_valid = dirs_s, depths_m, lidar_valid
+        is_sky = jnp.zeros((w, n_lidar), bool)
+
+    mats = se3.twist_to_matrix(twists)  # (W, 4, 4) — differentiable
+    mats_det = jax.lax.stop_gradient(mats)
+    rot = jnp.where(is_sky[..., None, None], mats_det[:, None, :3, :3], mats[:, None, :3, :3])
+    trans = jnp.where(is_sky[..., None], mats_det[:, None, :3, 3], mats[:, None, :3, 3])
+
+    # World-frame directions, normalized (ray_utils.py:293-297).
+    dirs_w = jnp.einsum("wbij,wbj->wbi", rot, all_dirs)
+    dirs_w = dirs_w / jnp.linalg.norm(dirs_w, axis=-1, keepdims=True)
+
+    # World-cube origins (ray_utils.py:282-284).
+    origins = (trans + world_shift) / world_scale
+    origins = jnp.broadcast_to(origins, dirs_w.shape)
+
+    b = w * all_dirs.shape[1]
+    origins = origins.reshape(b, 3)
+    dirs_w = dirs_w.reshape(b, 3)
+    depths_cube = (all_depths / world_scale).reshape(b)
+    valid = all_valid.reshape(b)
+
+    near = jnp.full((b,), ray_range[0] / world_scale, dtype=origins.dtype)
+    far_range = ray_range[1] / world_scale
+    far_clip = get_far_val(origins, dirs_w)
+    far = jnp.minimum(far_range, far_clip)
+
+    # Only rays with > 1 m inside the cube are used (ray_utils.py:321).
+    valid = valid & (far > near + 1.0 / world_scale)
+    # Guard: origins must be inside the cube (ray_utils.py:302 asserts).
+    valid = valid & (jnp.abs(origins).max(axis=-1) <= 1.0)
+
+    rays = pack_rays(origins, dirs_w, near, far)
+    return rays, depths_cube, valid

@@ -114,27 +114,37 @@ def hash_corner_indices(pos01: jax.Array, cfg: HashEncodingConfig) -> Tuple[jax.
     frac = (scaled - cell).astype(jnp.float32)
     cell = cell.astype(jnp.uint32)  # (N, L, 3)
 
-    # 8 corner offsets (8, 3) in {0,1}.
-    corners = jnp.asarray(
-        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], dtype=jnp.uint32
-    )
-    cpos = cell[:, :, None, :] + corners[None, None, :, :]  # (N, L, 8, 3)
+    # Build the 8 corners from per-axis factors — never materializes an
+    # (N, L, 8, 3) tensor (HBM matters at 2M-point batches). Corner order:
+    # index = 4*ix + 2*iy + iz.
+    n = pos01.shape[0]
+    c0 = cell  # (N, L, 3)
+    c1 = cell + 1
 
-    # Trilerp weights: prod over axes of (frac or 1-frac).
-    w = jnp.where(
-        corners[None, None, :, :] == 1, frac[:, :, None, :], 1.0 - frac[:, :, None, :]
-    ).prod(axis=-1)  # (N, L, 8)
+    # Trilerp weights as an outer product of per-axis (1-f, f) pairs.
+    wx = jnp.stack([1.0 - frac[..., 0], frac[..., 0]], axis=-1)  # (N, L, 2)
+    wy = jnp.stack([1.0 - frac[..., 1], frac[..., 1]], axis=-1)
+    wz = jnp.stack([1.0 - frac[..., 2], frac[..., 2]], axis=-1)
+    w = (
+        wx[..., :, None, None] * wy[..., None, :, None] * wz[..., None, None, :]
+    ).reshape(n, n_levels, 8)
 
-    # Dense index with strides (1, R+1, (R+1)^2); hash index via primes.
-    r1 = (res + 1)[None, :, None]  # (1, L, 1)
+    r1 = (res + 1)[None, :]  # (1, L)
+    # Per-axis index contributions, combined by broadcasting to (N, L, 2, 2, 2).
+    dx = jnp.stack([c0[..., 0], c1[..., 0]], axis=-1)  # (N, L, 2)
+    dy = jnp.stack([c0[..., 1], c1[..., 1]], axis=-1) * r1[..., None]
+    dz = jnp.stack([c0[..., 2], c1[..., 2]], axis=-1) * (r1 * r1)[..., None]
     dense_idx = (
-        cpos[..., 0] + cpos[..., 1] * r1 + cpos[..., 2] * r1 * r1
-    )  # (N, L, 8) uint32
+        dx[..., :, None, None] + dy[..., None, :, None] + dz[..., None, None, :]
+    ).reshape(n, n_levels, 8)
+
+    hx = jnp.stack([c0[..., 0], c1[..., 0]], axis=-1) * jnp.uint32(_PRIMES[0])
+    hy = jnp.stack([c0[..., 1], c1[..., 1]], axis=-1) * jnp.uint32(_PRIMES[1])
+    hz = jnp.stack([c0[..., 2], c1[..., 2]], axis=-1) * jnp.uint32(_PRIMES[2])
     hash_idx = (
-        cpos[..., 0] * jnp.uint32(_PRIMES[0])
-        ^ cpos[..., 1] * jnp.uint32(_PRIMES[1])
-        ^ cpos[..., 2] * jnp.uint32(_PRIMES[2])
-    ) % sizes[None, :, None]
+        hx[..., :, None, None] ^ hy[..., None, :, None] ^ hz[..., None, None, :]
+    ).reshape(n, n_levels, 8) % sizes[None, :, None]
+
     idx = jnp.where(dense[None, :, None], dense_idx, hash_idx)
     idx = idx + offsets[None, :, None]
     return idx.astype(jnp.int32), w

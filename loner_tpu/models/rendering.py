@@ -210,6 +210,7 @@ def render_rays(
     occ_grid: Optional[jax.Array] = None,
     ret_var: bool = False,
     encode_fn=None,
+    point_chunk: int = 131072,
 ) -> Dict[str, jax.Array]:
     """Render a batch of rays (reference rendering_tcnn.py:192-267).
 
@@ -229,17 +230,48 @@ def render_rays(
 
     n_rays, s = pts.shape[:2]
     flat_pts = pts.reshape(-1, 3)
+    n_pts = flat_pts.shape[0]
+
+    # Block the field evaluation: the hash encoding materializes (B, L, 8)
+    # index/weight tensors, which at the full 2M-point training batch would
+    # blow past HBM. lax.map over fixed-size blocks bounds the live set to
+    # one block, and jax.checkpoint rematerializes the encoding in the
+    # backward pass instead of saving it (TPU-native equivalent of the
+    # reference's chunk/netchunk batching, model_tcnn.py:82-99 /
+    # rendering_tcnn.py:176-182 — trading FLOPs for HBM).
+    block = point_chunk if point_chunk else n_pts
+    use_blocks = n_pts > block and n_pts % block == 0
+
     if sigma_only:
-        raw = query_field(
-            field_params, flat_pts, None, field_cfg,
-            sigma_only=True, encode_fn=encode_fn,
-        )
+        def eval_pts(p):
+            return query_field(
+                field_params, p, None, field_cfg,
+                sigma_only=True, encode_fn=encode_fn,
+            )
+
+        if use_blocks:
+            raw = jax.lax.map(
+                jax.checkpoint(eval_pts), flat_pts.reshape(-1, block, 3)
+            ).reshape(n_pts, -1)
+        else:
+            raw = eval_pts(flat_pts)
     else:
         flat_dirs = jnp.repeat(viewdirs, s, axis=0)
-        raw = query_field(
-            field_params, flat_pts, flat_dirs, field_cfg,
-            sigma_only=False, detach_sigma=detach_sigma, encode_fn=encode_fn,
-        )
+
+        def eval_pts_dirs(pd):
+            p, d = pd
+            return query_field(
+                field_params, p, d, field_cfg,
+                sigma_only=False, detach_sigma=detach_sigma, encode_fn=encode_fn,
+            )
+
+        if use_blocks:
+            raw = jax.lax.map(
+                jax.checkpoint(eval_pts_dirs),
+                (flat_pts.reshape(-1, block, 3), flat_dirs.reshape(-1, block, 3)),
+            ).reshape(n_pts, -1)
+        else:
+            raw = eval_pts_dirs((flat_pts, flat_dirs))
     raw = raw.reshape(n_rays, s, -1)
 
     out = raw2outputs(

@@ -1,0 +1,51 @@
+"""Multi-chip scaling via jax.sharding.
+
+The reference is single-GPU; its only parallelism is process-pipeline +
+share-nothing trial pools (SURVEY §2.2). This module adds what the
+reference never had: data-parallel mapping over a TPU mesh. The natural
+shard axis is the keyframe window — each device owns one (or more) window
+slots' rays end-to-end (sampling, ray building, rendering, loss), and the
+shared field/occupancy gradients are all-reduced by GSPMD over ICI. Pose
+twists are replicated (their gradients are slot-local, the psum is a
+no-op for other slots' zeros).
+
+Used by __graft_entry__.dryrun_multichip and, on real multi-chip slices,
+by the Optimizer when ``mesh`` is passed.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from loner_tpu.mapping.rays import WindowBuffers
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_window_buffers(buffers: WindowBuffers, mesh: Mesh) -> WindowBuffers:
+    """Place the window buffers with the keyframe-slot axis sharded."""
+    sharded = NamedSharding(mesh, P(DATA_AXIS))
+    return WindowBuffers(
+        jax.device_put(buffers.dirs, sharded),
+        jax.device_put(buffers.depths, sharded),
+        jax.device_put(buffers.counts, sharded),
+        jax.device_put(buffers.sky_dirs, sharded),
+        jax.device_put(buffers.sky_counts, sharded),
+        jax.device_put(buffers.slot_valid, sharded),
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (field params, occ grid, twists) over the mesh."""
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)

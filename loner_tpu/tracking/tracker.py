@@ -1,0 +1,215 @@
+"""Tracker: frame-to-frame ICP odometry.
+
+TPU-native counterpart of the reference Tracker
+(src/tracking/tracker.py:31-296): decimated frames are registered against
+the previous frame's cloud with the 2-stage point-to-plane ICP schedule
+(here: batched XLA ICP on device instead of Open3D C++ on host), chained
+onto the reference pose, optionally motion-compensated into the new frame,
+and optionally augmented with sky rays found via spherical-projection
+morphology. Runs as a host thread in the single-process pipeline; the
+throttle against the mapper uses SharedState.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+from scipy import ndimage
+
+from loner_tpu.common.frame import Frame
+from loner_tpu.common.pose import Pose
+from loner_tpu.common.signals import Signal, SharedState, StopSignal
+from loner_tpu.tracking.frame_synthesis import FrameSynthesis
+from loner_tpu.tracking.icp import run_icp_schedule
+from loner_tpu.ops.voxel import voxel_downsample
+
+
+class Tracker:
+    def __init__(
+        self,
+        settings,
+        rgb_signal: Optional[Signal],
+        lidar_signal: Signal,
+        frame_signal: Signal,
+    ) -> None:
+        self._rgb_slot = rgb_signal.register() if rgb_signal is not None else None
+        self._lidar_slot = lidar_signal.register()
+        self._frame_signal = frame_signal
+        self._settings = settings.tracker
+        self._lidar_only = settings.system.lidar_only
+
+        self._t_lidar_to_camera = Pose.from_settings(
+            settings.calibration.lidar_to_camera
+        )
+        self._frame_synthesizer = FrameSynthesis(
+            self._settings.frame_synthesis, self._t_lidar_to_camera, self._lidar_only
+        )
+
+        self.processed_stop_signal = False
+
+        self._reference_points: Optional[np.ndarray] = None
+        self._reference_pose = Pose.identity()
+        self._reference_time: Optional[float] = None
+
+        self._frame_count = 0
+        self._last_tracked_frame_time = 0.0
+        self._shared_state: Optional[SharedState] = None
+
+        self._frame_rate = self._settings.frame_synthesis.frame_decimation_rate_hz
+        self._max_time_delta = self._settings.synchronization.max_time_delta
+        self._icp_pad = int(
+            self._settings.icp.downsample.get("target_uniform_point_count", 5000)
+        )
+
+    # -- pipeline ------------------------------------------------------------
+    def update(self) -> None:
+        tic = time.time()
+        num_tracked = 0
+
+        # Throttle: don't run ahead of the mapper (reference tracker.py:86-88).
+        if (
+            self._settings.synchronization.enabled
+            and self._shared_state is not None
+            and self._shared_state.last_mapped_frame_time is not None
+        ):
+            while (
+                self._last_tracked_frame_time
+                - (self._shared_state.last_mapped_frame_time + self._max_time_delta)
+                > 1.0 / self._frame_rate
+            ):
+                time.sleep(0.01)
+
+        if self._rgb_slot is not None and self._rgb_slot.has_value():
+            val = self._rgb_slot.get_value()
+            if isinstance(val, StopSignal):
+                self.processed_stop_signal = True
+                return
+            self._frame_synthesizer.process_image(val)
+
+        if self._lidar_slot.has_value():
+            val = self._lidar_slot.get_value()
+            if isinstance(val, StopSignal):
+                self.processed_stop_signal = True
+                return
+            scan, gt_pose = val
+            self._frame_synthesizer.process_lidar(scan, gt_pose)
+
+        while self._frame_synthesizer.has_frame():
+            frame = self._frame_synthesizer.pop_frame()
+            frame._id = self._frame_count
+            if not self.track_frame(frame):
+                print("Warning: Failed to track frame. Skipping.")
+                continue
+            if self._settings.get("compute_sky_rays", False):
+                self.compute_sky_rays(frame)
+            self._frame_signal.emit(frame)
+            self._frame_count += 1
+            self._last_tracked_frame_time = frame.get_time()
+            num_tracked += 1
+
+        if num_tracked > 0 and self._settings.get("debug", {}).get("log_times", False):
+            with open(f"{self._settings.log_directory}/track_times.csv", "a+") as f:
+                f.write(f"{time.time() - tic},{num_tracked}\n")
+
+    def run(self, shared_state: SharedState) -> None:
+        self._shared_state = shared_state
+        while not self.processed_stop_signal:
+            self.update()
+            time.sleep(1e-4)
+        print("Tracking Done.")
+
+    # -- core -----------------------------------------------------------------
+    def _build_icp_cloud(self, frame: Frame) -> np.ndarray:
+        downsample_type = self._settings.icp.downsample.type
+        scan_duration = self._settings.icp.scan_duration
+        if downsample_type in (None, "NONE"):
+            return frame.build_point_cloud(scan_duration=scan_duration)
+        if downsample_type == "VOXEL":
+            pts = frame.build_point_cloud(scan_duration=scan_duration)
+            return voxel_downsample(
+                pts, self._settings.icp.downsample.voxel_downsample_size
+            )
+        if downsample_type == "UNIFORM":
+            return frame.build_point_cloud(
+                scan_duration=scan_duration,
+                target_points=self._settings.icp.downsample.target_uniform_point_count,
+            )
+        raise ValueError(f"Unrecognized downsample type {downsample_type}")
+
+    def track_frame(self, frame: Frame) -> bool:
+        cloud = self._build_icp_cloud(frame)
+
+        if self._reference_points is None:
+            # First frame anchors the coordinate system (tracker.py:186-196).
+            frame._lidar_pose = self._reference_pose.clone()
+            self._reference_points = cloud
+            self._reference_time = frame.get_middle_time()
+            return True
+
+        result = run_icp_schedule(
+            cloud,
+            self._reference_points,
+            [dict(s) for s in self._settings.icp.schedule],
+            pad_size=self._icp_pad,
+        )
+        registration = np.asarray(result.transformation, np.float64)
+
+        tracked = Pose(self._reference_pose.matrix @ registration)
+        new_reference_time = frame.get_middle_time()
+        frame._lidar_pose = tracked
+
+        if self._settings.motion_compensation.enabled:
+            frame.lidar_points.motion_compensate(
+                (self._reference_pose, frame._lidar_pose),
+                (self._reference_time, new_reference_time),
+                frame._lidar_pose,
+            )
+
+        self._reference_time = new_reference_time
+        self._reference_pose = tracked
+        self._reference_points = cloud
+        return True
+
+    # -- sky rays --------------------------------------------------------------
+    def compute_sky_rays(self, frame: Frame) -> None:
+        """Find directions with no lidar return above the horizon via
+        spherical-projection morphology (reference tracker.py:257-296).
+        Stored SENSOR-frame (see keyframe.sky_dirs for why)."""
+        TOP_ROWS = 3
+        HORIZON_OFFSET = 10.0
+
+        dirs = frame.lidar_points.ray_directions
+        x, y, z = dirs[0], dirs[1], dirs[2]
+        theta = np.round(np.rad2deg(np.arctan2(y, x))).astype(np.int64)
+        phi = np.round(np.rad2deg(np.arctan2(np.sqrt(x * x + y * y), z))).astype(np.int64)
+
+        phi_img = phi - phi.min()
+        theta_img = theta - theta.min()
+        theta_img[theta_img == 360] = 0
+
+        img = np.zeros((phi_img.max() + 1, 360), np.uint8)
+        img[phi_img, theta_img] = 1
+        img = ndimage.binary_dilation(img, np.ones((3, 3)))
+        img = ndimage.binary_erosion(img, np.ones((3, 3))).astype(np.uint8)
+        img[:TOP_ROWS] = 1
+
+        zero_phi, zero_theta = np.nonzero(img == 0)
+        zero_phi = np.deg2rad(zero_phi + phi.min())
+        zero_theta = np.deg2rad(zero_theta + theta.min())
+
+        z_out = np.cos(zero_phi)
+        y_out = np.sin(zero_phi) * np.sin(zero_theta)
+        x_out = np.sin(zero_phi) * np.cos(zero_theta)
+        zero_dirs = np.stack([x_out, y_out, z_out])  # sensor frame
+
+        # Keep only directions above the horizon in the WORLD frame.
+        r = frame.get_lidar_pose().get_rotation()
+        world = r @ zero_dirs
+        phi_w = 90.0 - np.rad2deg(
+            np.arctan2(np.sqrt(world[0] ** 2 + world[1] ** 2), world[2])
+        )
+        frame.lidar_points.sky_rays = zero_dirs[:, phi_w > HORIZON_OFFSET].astype(
+            np.float32
+        )

@@ -1,0 +1,146 @@
+"""Tests for ICP, frame synthesis, voxel ops, and sky-ray extraction."""
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as _R
+
+import jax.numpy as jnp
+
+from loner_tpu.common.frame import Frame
+from loner_tpu.common.pose import Pose
+from loner_tpu.common.settings import Settings
+from loner_tpu.datasets.synthetic import BoxRoomScene, VirtualLidar, make_scan
+from loner_tpu.ops.voxel import voxel_downsample
+from loner_tpu.tracking.frame_synthesis import FrameSynthesis
+from loner_tpu.tracking.icp import estimate_normals, pad_cloud, run_icp_schedule
+
+SCHEDULE = [
+    {"threshold": 1.5, "max_iterations": 10},
+    {"threshold": 0.125, "max_iterations": 10},
+]
+
+
+def make_cloud_pair(delta_twist, n_channels=24, n_columns=196, seed=0):
+    """Two scans of the box room from poses separated by delta_twist.
+
+    Returns (source, target, true source->target transform). Source is the
+    NEW frame, target the reference: ICP estimates T s.t. T @ p_new aligns
+    with p_ref, i.e. T = T_ref^-1 @ T_new.
+    """
+    scene = BoxRoomScene()
+    lidar = VirtualLidar(num_channels=n_channels, num_columns=n_columns, max_range=40.0)
+    t_ref = Pose.from_twist(np.array([1.0, 0.5, 0.3, 0.0, 0.0, 0.4]))
+    t_new = Pose(t_ref.matrix @ Pose.from_twist(delta_twist).matrix)
+    target = make_scan(scene, lidar, t_ref, 0.0).end_points()
+    source = make_scan(scene, lidar, t_new, 0.0).end_points()
+    return source, target, t_ref.inv() * t_new
+
+
+class TestNormals:
+    def test_planar_cloud_normals(self):
+        rng = np.random.default_rng(0)
+        pts = np.zeros((512, 3), np.float32)
+        pts[:, :2] = rng.uniform(-1, 1, (512, 2))
+        padded, valid = pad_cloud(pts, 512)
+        n = np.asarray(estimate_normals(jnp.asarray(padded), jnp.asarray(valid), k=16))
+        # All normals must be +-z.
+        assert np.all(np.abs(n[:, 2]) > 0.99)
+
+
+class TestICP:
+    @pytest.mark.parametrize(
+        "delta",
+        [
+            np.array([0.2, -0.1, 0.05, 0.0, 0.0, 0.0]),
+            np.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.08]),
+            np.array([0.15, 0.1, -0.05, 0.02, -0.01, 0.05]),
+        ],
+    )
+    def test_recovers_known_transform(self, delta):
+        source, target, t_true = make_cloud_pair(delta)
+        result = run_icp_schedule(source, target, SCHEDULE, pad_size=4096)
+        est = np.asarray(result.transformation, np.float64)
+        err = Pose(est).inv() * t_true
+        d_t, d_r = Pose.identity().distance_to(err)
+        assert d_t < 0.035, f"translation error {d_t}"
+        assert d_r < 1.0, f"rotation error {d_r} deg"
+        assert float(result.fitness) > 0.5
+
+    def test_identity_stays_identity(self):
+        source, target, _ = make_cloud_pair(np.zeros(6))
+        result = run_icp_schedule(source, target, SCHEDULE, pad_size=4096)
+        est = np.asarray(result.transformation)
+        np.testing.assert_allclose(est, np.eye(4), atol=5e-3)
+
+
+class TestVoxel:
+    def test_voxel_downsample_merges(self):
+        pts = np.array([[0.01, 0.01, 0.01], [0.02, 0.02, 0.02], [1.5, 1.5, 1.5]])
+        out = voxel_downsample(pts, 0.1)
+        assert out.shape[0] == 2
+        assert np.any(np.all(np.isclose(out, [0.015, 0.015, 0.015], atol=1e-6), axis=1))
+
+
+class TestFrameSynthesis:
+    def _settings(self, decimate_on_load=False):
+        return Settings(
+            {
+                "frame_decimation_rate_hz": 5,
+                "frame_match_tolerance": 0.01,
+                "frame_delta_t_sec_tolerance": 0.02,
+                "decimate_on_load": decimate_on_load,
+            }
+        )
+
+    def _scan(self, t0):
+        from loner_tpu.common.sensors import LidarScan
+
+        n = 16
+        return LidarScan(
+            np.ones((3, n), np.float32) / np.sqrt(3),
+            np.ones(n, np.float32),
+            np.linspace(t0, t0 + 0.09, n),
+        )
+
+    def test_decimation_to_5hz(self):
+        fs = FrameSynthesis(self._settings(), None, lidar_only=True)
+        for i in range(20):  # 10 Hz stream
+            fs.process_lidar(self._scan(i * 0.1), None)
+        count = 0
+        while fs.has_frame():
+            fs.pop_frame()
+            count += 1
+        assert 9 <= count <= 11  # ~half the frames kept
+
+    def test_decimate_on_load_passthrough(self):
+        fs = FrameSynthesis(self._settings(decimate_on_load=True), None, lidar_only=True)
+        for i in range(10):
+            fs.process_lidar(self._scan(i * 0.1), None)
+        count = sum(1 for _ in iter(fs.pop_frame, None) if True) if False else 0
+        while fs.has_frame():
+            fs.pop_frame()
+            count += 1
+        assert count == 10
+
+
+class TestSkyRays:
+    def test_sky_detected_in_open_ceiling(self):
+        from loner_tpu.tracking.tracker import Tracker
+
+        # Scan with no returns above 60 deg elevation: sky.
+        lidar = VirtualLidar(
+            num_channels=32, num_columns=128, vertical_fov_deg=(-30, 50), max_range=40.0
+        )
+        scene = BoxRoomScene()
+        scan = make_scan(scene, lidar, Pose.identity(), 0.0)
+        frame = Frame(lidar_points=scan)
+        frame._lidar_pose = Pose.identity()
+
+        # Call compute_sky_rays without constructing a full Tracker.
+        Tracker.compute_sky_rays(object.__new__(Tracker), frame)
+        sky = frame.lidar_points.sky_rays
+        assert sky is not None and sky.shape[1] > 0
+        # All sky dirs point above the horizon offset.
+        elev = 90 - np.rad2deg(
+            np.arctan2(np.sqrt(sky[0] ** 2 + sky[1] ** 2), sky[2])
+        )
+        assert np.all(elev > 10.0 - 1e-6)
