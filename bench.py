@@ -69,22 +69,28 @@ def main() -> None:
         cfg, field_cfg, phase, w, buffers.dirs.shape[1], buffers.sky_dirs.shape[1]
     )
 
-    def run(step0, seed):
-        out = runner(
-            params, occ, twists, buffers, pose_mask, world_scale, world_shift,
-            jnp.asarray(step0, jnp.int32), jax.random.key(seed),
-        )
-        jax.block_until_ready(out[3])
-        return out
+    state = (params, occ, twists)
 
-    run(0, 1)  # warmup + compile
+    def run(state, step0, seed, n_iters):
+        p, o, t = state
+        out = runner(
+            p, o, t, buffers, pose_mask, world_scale, world_shift,
+            step0, jax.random.key(seed), num_iterations=n_iters,
+        )
+        # Force completion via host transfer (block_until_ready has proven
+        # unreliable on the experimental axon platform). Params are donated
+        # inside the step, so thread the returned state forward.
+        np.asarray(out[3])
+        return (out[0], out[1], out[2])
+
+    state = run(state, 0, 1, 10)  # warmup + compile
     t0 = time.perf_counter()
-    n_phases = 4
+    n_phases, iters_per_phase = 4, 50
     for i in range(n_phases):
-        run(50 * (i + 1), 2 + i)
+        state = run(state, 10 + iters_per_phase * i, 2 + i, iters_per_phase)
     elapsed = time.perf_counter() - t0
 
-    iters = phase.num_iterations * n_phases
+    iters = iters_per_phase * n_phases
     iters_per_sec = iters / elapsed
     rays_per_sec = iters_per_sec * w * n_rays
     point_evals_per_sec = rays_per_sec * n_samples

@@ -93,6 +93,7 @@ def compute_lidar_loss(
     iteration_idx: jax.Array,
     global_step: jax.Array,
     encode_fn=None,
+    point_chunk: int = 131072,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Render the batch and assemble the total loss. Returns (loss, aux)
     where aux carries what the occupancy-grid update and logging need."""
@@ -114,6 +115,7 @@ def compute_lidar_loss(
         sigma_only=True,
         occ_grid=occ_grid,
         encode_fn=encode_fn,
+        point_chunk=point_chunk,
     )
 
     z_m = result["z_vals"] * world_scale  # (B, S) meters

@@ -81,6 +81,7 @@ class OptimizerConfig:
     ray_range: Tuple[float, float] = (1.0, 10.0)
     window_size: int = 8
     enable_sky: bool = False
+    point_chunk: int = 131072  # 0 = evaluate all samples in one block
     loss: LossConfig = LossConfig()
 
     @staticmethod
@@ -199,6 +200,7 @@ def make_phase_runner(
             it_idx,
             global_step,
             encode_fn=encode_fn,
+            point_chunk=cfg.point_chunk,
         )
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

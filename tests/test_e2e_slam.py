@@ -1,0 +1,175 @@
+"""End-to-end SLAM integration test: tracking + mapping on a synthetic
+loop, single-threaded deterministic mode (the reference's determinism
+harness, loner.py:254-261), tiny scale for the 1-core CPU host.
+
+Validates: the full pipeline runs through the public Loner API, produces
+the trajectory/checkpoint artifact contract, and the estimated trajectory
+ATE is small on the analytic scene.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from loner_tpu.common.settings import Settings
+from loner_tpu.analysis.traj_metrics import evaluate_trajectory_files
+from loner_tpu.datasets.scan_stream import ScanStreamWriter
+from loner_tpu.datasets.synthetic import VirtualLidar, generate_sequence
+
+
+NUM_SCANS = 24
+
+
+@pytest.fixture(scope="module")
+def synthetic_dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ds"))
+    scans, poses, ts, scene, lidar = generate_sequence(
+        num_scans=NUM_SCANS,
+        lidar=VirtualLidar(num_channels=16, num_columns=128, max_range=30.0),
+        rate_hz=5.0,
+    )
+    w = ScanStreamWriter(root)
+    for s in scans:
+        w.add_scan(s)
+    w.write_gt(poses, ts)
+    return root
+
+
+def tiny_settings(log_prefix: str) -> Settings:
+    s = Settings.load_from_file("cfg/defaults.yaml")
+    s.augment(
+        {
+            "system": {"single_threaded": True, "log_dir_prefix": log_prefix},
+            "tracker": {
+                "frame_synthesis": {"frame_decimation_rate_hz": 2.5, "decimate_on_load": False},
+                "icp": {"downsample": {"target_uniform_point_count": 1500}},
+            },
+            "mapper": {
+                "keyframe_manager": {
+                    "keyframe_selection": {"temporal": {"time_diff_seconds": 1.0}},
+                    "window_selection": {"window_size": 3},
+                },
+                "optimizer": {
+                    "num_samples": {"lidar": 128, "sky": 0},
+                    "keyframe_schedule": [
+                        {
+                            "num_keyframes": 1,
+                            "iteration_schedule": [
+                                {
+                                    "num_iterations": 100,
+                                    "freeze_poses": True,
+                                    "freeze_sigma_mlp": False,
+                                    "freeze_rgb_mlp": True,
+                                }
+                            ],
+                        },
+                        {
+                            "num_keyframes": -1,
+                            "iteration_schedule": [
+                                {
+                                    "num_iterations": 20,
+                                    "freeze_poses": False,
+                                    "freeze_sigma_mlp": False,
+                                    "freeze_rgb_mlp": True,
+                                }
+                            ],
+                        },
+                    ],
+                    "model_config": {
+                        "data": {"ray_range": [0.5, 14.0]},
+                        "model": {
+                            "ray_range": [0.5, 14.0],
+                            "render": {"N_samples_train": 64, "N_samples_test": 128},
+                            "occ_model": {"voxel_size": 32},
+                            "nerf_config": {
+                                "pos_encoding_sigma": {
+                                    "n_levels": 6,
+                                    "log2_hashmap_size": 14,
+                                    "per_level_scale": 1.5,
+                                },
+                                "pos_encoding_intensity": {
+                                    "n_levels": 2,
+                                    "log2_hashmap_size": 12,
+                                },
+                            },
+                        },
+                    },
+                },
+            },
+        }
+    )
+    return s
+
+
+@pytest.fixture(scope="module")
+def slam_run(synthetic_dataset, tmp_path_factory):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from run_loner import run_trial
+
+    log_prefix = str(tmp_path_factory.mktemp("outputs"))
+    settings = tiny_settings(log_prefix)
+    log_dir = run_trial(settings, synthetic_dataset, experiment_name="e2e_test")
+    return log_dir
+
+
+class TestEndToEnd:
+    def test_artifacts_exist(self, slam_run):
+        for f in [
+            "world_cube.yaml",
+            "full_config.yaml",
+            "full_config.pkl",
+            "runtime.txt",
+            "trajectory/tracking_only.txt",
+            "trajectory/online_estimates.txt",
+            "trajectory/keyframe_trajectory.txt",
+            "trajectory/estimated_trajectory.txt",
+            "trajectory/groundtruth.txt",
+            "checkpoints/final.tar",
+        ]:
+            assert os.path.exists(os.path.join(slam_run, f)), f
+
+    def test_trajectory_ate(self, slam_run):
+        res = evaluate_trajectory_files(
+            os.path.join(slam_run, "trajectory", "estimated_trajectory.txt"),
+            os.path.join(slam_run, "trajectory", "groundtruth.txt"),
+            delta_m=1.0,
+        )
+        # Analytic scene, short loop: tracking should be centimeter-level.
+        assert res["ate"]["rmse"] < 0.15, res["ate"]
+
+    def test_tracking_only_ate(self, slam_run):
+        res = evaluate_trajectory_files(
+            os.path.join(slam_run, "trajectory", "tracking_only.txt"),
+            os.path.join(slam_run, "trajectory", "groundtruth.txt"),
+            delta_m=1.0,
+        )
+        assert res["ate"]["rmse"] < 0.15, res["ate"]
+
+    def test_checkpoint_loadable_and_renders(self, slam_run):
+        from loner_tpu.analysis.render_utils import load_experiment, render_depth_chunked
+        from loner_tpu.analysis.render_utils import kf_pose_matrices
+
+        model = load_experiment(slam_run)
+        assert len(model.poses) >= 3
+        mats, ts = kf_pose_matrices(model)
+        dirs = np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float32)
+        origins = np.broadcast_to(mats[0][:3, 3], dirs.shape)
+        out = render_depth_chunked(
+            model, origins, dirs, (0.5, 14.0), n_samples=128, ret_var=True
+        )
+        assert np.all(np.isfinite(out["depth"]))
+
+    def test_l1_depth_metric_pipeline(self, slam_run, synthetic_dataset):
+        from loner_tpu.analysis.compute_l1_depth import compute_l1_depth
+
+        res = compute_l1_depth(
+            slam_run,
+            synthetic_dataset,
+            num_frames=3,
+            rays_per_frame=256,
+            n_samples=128,
+        )
+        assert os.path.exists(os.path.join(slam_run, "metrics", "l1.yaml"))
+        assert res["mean"] < 3.0, res
