@@ -21,6 +21,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+from loner_tpu.common.jax_setup import enable_persistent_cache
+
+enable_persistent_cache()
 import jax.numpy as jnp
 import numpy as np
 

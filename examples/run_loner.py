@@ -22,6 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from loner_tpu.common.jax_setup import enable_persistent_cache
+
+enable_persistent_cache()
+
 from loner_tpu.common.pose import Pose
 from loner_tpu.common.settings import Settings, generate_options
 from loner_tpu.datasets.scan_stream import ScanStreamReader, apply_fov_mask, apply_min_range
@@ -124,6 +128,23 @@ def main() -> None:
     )
     args = parser.parse_args()
 
+    # Sequence-config support (reference per-sequence yamls): a file with
+    # `baseline:` + `changes:` loads the baseline and applies the overlay;
+    # its `dataset:` provides the default dataset path.
+    import yaml as _yaml
+
+    with open(args.config) as f:
+        raw_cfg = _yaml.safe_load(f)
+    seq_changes = None
+    if isinstance(raw_cfg, dict) and "baseline" in raw_cfg:
+        base = os.path.join(os.path.dirname(args.config), raw_cfg["baseline"])
+        seq_changes = raw_cfg.get("changes")
+        if args.dataset_path in ("auto", "-"):
+            args.dataset_path = os.path.expanduser(raw_cfg["dataset"])
+        if "experiment_name" in raw_cfg and args.experiment_name is None:
+            pass  # experiment_name stays timestamped unless explicitly set
+        args.config = base
+
     if args.dataset_path == "synthetic":
         dataset_path = os.path.join("./outputs", "synthetic_dataset")
         if not os.path.exists(os.path.join(dataset_path, "scans")):
@@ -148,7 +169,10 @@ def main() -> None:
     )
 
     options, descriptions = generate_options(
-        args.config, args.overrides, args.run_all_combos, augmentations=[lite_changes]
+        args.config,
+        args.overrides,
+        args.run_all_combos,
+        augmentations=[seq_changes, lite_changes],
     )
 
     multi = len(options) > 1 or args.num_repeats > 1

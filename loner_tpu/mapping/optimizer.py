@@ -242,7 +242,10 @@ def make_phase_runner(
                 logits_grad = get_logits_grad(aux["z_m"], aux["depths_gt_m"][:, None])
                 logits_grad = logits_grad * aux["valid"][:, None]
                 return occ_grid_update(
-                    og, jax.lax.stop_gradient(aux["points"]), logits_grad, cfg.occ_lr
+                    og,
+                    jax.lax.stop_gradient(aux["points_t"]),
+                    logits_grad.reshape(-1),
+                    cfg.occ_lr,
                 )
 
             occ_grid = jax.lax.cond(
