@@ -35,14 +35,14 @@ from loner_tpu.models.rendering import (
 @jax.jit
 def _splat_weights_max(
     grid: jax.Array,  # (V, V, V)
-    points_t: jax.Array,  # (3, N) in [-1, 1] cube coords
+    points: jax.Array,  # (N, 3) in [-1, 1] cube coords
     weights: jax.Array,  # (N,)
 ) -> jax.Array:
     """Max-reduce sample weights into the voxel grid (reference
     mesher.py:130-180 does the same splat on the host)."""
     v = grid.shape[0]
-    ijk = jnp.clip(((points_t + 1.0) * 0.5 * v).astype(jnp.int32), 0, v - 1)
-    flat = ijk[0] * v * v + ijk[1] * v + ijk[2]
+    ijk = jnp.clip(((points + 1.0) * 0.5 * v).astype(jnp.int32), 0, v - 1)
+    flat = ijk[:, 0] * v * v + ijk[:, 1] * v + ijk[:, 2]
     out = grid.reshape(-1).at[flat].max(weights)
     return out.reshape(v, v, v)
 
@@ -78,7 +78,7 @@ def build_weight_grid(
             )
             grid = _splat_weights_max(
                 grid,
-                out["points_t"],
+                out["points"].reshape(-1, 3),
                 out["weights"].reshape(-1),
             )
     return np.asarray(grid)

@@ -189,7 +189,7 @@ def compute_lidar_loss(
         "depth_eps": depth_eps,
         "js_score": js_score,
         "std": std,
-        "points_t": result["points_t"],  # (3, B*S) cube coords, for occ update
+        "points": result["points"],  # (B, S, 3) cube coords, for occ update
         "z_m": z_m,
         "depths_gt_m": depths_gt_m,
         "opaque": opaque,

@@ -72,6 +72,7 @@ class Mapper:
                 use_gt_poses=bool(settings.debug.get("use_groundtruth_poses", False)),
                 freeze_poses=bool(settings.optimizer.freeze_poses),
                 log_directory=settings.get("log_directory"),
+                profile_optimizer=bool(settings.debug.get("profile_optimizer", False)),
             )
         self._optimizer = optimizer
 

@@ -242,10 +242,7 @@ def make_phase_runner(
                 logits_grad = get_logits_grad(aux["z_m"], aux["depths_gt_m"][:, None])
                 logits_grad = logits_grad * aux["valid"][:, None]
                 return occ_grid_update(
-                    og,
-                    jax.lax.stop_gradient(aux["points_t"]),
-                    logits_grad.reshape(-1),
-                    cfg.occ_lr,
+                    og, jax.lax.stop_gradient(aux["points"]), logits_grad, cfg.occ_lr
                 )
 
             occ_grid = jax.lax.cond(
@@ -317,6 +314,8 @@ class Optimizer:
         seed: int = 0,
         encode_fn=None,
         log_directory: Optional[str] = None,
+        profile_optimizer: bool = False,
+        verbose_timing: bool = False,
     ) -> None:
         self._cfg = cfg
         self._field_cfg = field_cfg
@@ -328,6 +327,8 @@ class Optimizer:
         self._freeze_poses = freeze_poses
         self._encode_fn = encode_fn
         self._log_directory = log_directory
+        self._profile_optimizer = profile_optimizer
+        self._verbose_timing = verbose_timing
 
         key = jax.random.key(seed)
         k_field, self._key = jax.random.split(key)
@@ -376,6 +377,7 @@ class Optimizer:
         are written back into the keyframes (twist convention).
         """
         from loner_tpu.mapping.keyframe import KeyFrame  # circular-safe
+        from loner_tpu.runtime.profiling import optimizer_trace
 
         start_time = time.time()
 
@@ -405,6 +407,8 @@ class Optimizer:
         twists = jnp.asarray(twists)
 
         all_losses, all_eps = [], []
+        trace_ctx = optimizer_trace(self._log_directory, self._profile_optimizer)
+        trace_ctx.__enter__()
         for phase in phases:
             freeze_poses = (
                 phase.freeze_poses or self._freeze_poses or self._use_gt_poses
@@ -442,6 +446,8 @@ class Optimizer:
             all_losses.append(np.asarray(losses))
             all_eps.append(np.asarray(eps_log))
 
+        trace_ctx.__exit__(None, None, None)
+
         # Fatal non-finite checks (reference optimizer.py:368-374, 590).
         twists_np = np.asarray(twists)
         if not np.isfinite(twists_np).all():
@@ -460,6 +466,12 @@ class Optimizer:
         if self._log_directory is not None:
             with open(f"{self._log_directory}/timing.csv", "a+") as f:
                 f.write(f"{num_its},{elapsed}\n")
+        if self._verbose_timing:
+            per = elapsed / max(num_its, 1)
+            print(
+                f"Elapsed Time: {elapsed:.3f}. Per Iteration: {per:.4f}, "
+                f"Its/Sec: {1.0 / max(per, 1e-9):.2f}"
+            )
 
         self._keyframe_count += 1
         return float(self.last_losses[-1])

@@ -14,15 +14,9 @@ is a ``stop_gradient``. MLPs are bias-free (tcnn's FullyFusedMLP has no
 bias terms), He-uniform initialized. Inputs arrive in [-1, 1]^3 (world
 cube) and are mapped to [0, 1] like the reference (nerf_tcnn.py:63,83).
 
-LAYOUT: the hot sigma path is POINT-MINOR end to end (see
-hash_encoding.py) — features are (C, N) and the MLP applies transposed
-weights via (out, in) @ (in, N) matmuls, keeping the huge N axis on the
-TPU lane dimension with zero padding waste. ``query_sigma_t`` is the fast
-path; the row-major ``query_field`` transposes at the boundary.
-
 Compute dtype is a config knob: tables/weights are stored float32 for
 Adam stability, and the MLP matmuls run in the requested dtype (bfloat16
-keeps the MXU fed; trilerp weighted-sums stay f32).
+on TPU keeps the MXU fed; the trilerp weighted-sums stay f32).
 """
 from __future__ import annotations
 
@@ -34,7 +28,7 @@ import jax.numpy as jnp
 
 from loner_tpu.models.hash_encoding import (
     HashEncodingConfig,
-    hash_encode_t,
+    hash_encode,
     init_hash_table,
 )
 from loner_tpu.models.sh_encoding import sh_encode
@@ -91,10 +85,7 @@ class FieldConfig:
 
 
 def _init_mlp(key: jax.Array, in_dim: int, cfg: MLPConfig) -> Dict[str, jax.Array]:
-    """Bias-free MLP weights, He-uniform (matches tcnn's default init).
-
-    Stored as (in, out); the transposed fast path reads w.T.
-    """
+    """Bias-free MLP weights, He-uniform (matches tcnn's default init)."""
     dims = [in_dim] + [cfg.n_neurons] * cfg.n_hidden_layers + [cfg.output_dim]
     params = {}
     for i, (d_in, d_out) in enumerate(zip(dims[:-1], dims[1:])):
@@ -106,25 +97,16 @@ def _init_mlp(key: jax.Array, in_dim: int, cfg: MLPConfig) -> Dict[str, jax.Arra
     return params
 
 
-def _apply_mlp_t(params: Dict[str, jax.Array], x_t: jax.Array, dtype) -> jax.Array:
-    """ReLU MLP on point-minor features: (C_in, N) -> (C_out, N).
-
-    Matmuls run (out, in) @ (in, N) with the big N axis on the lanes;
-    f32 accumulation regardless of compute dtype.
-    """
+def _apply_mlp(params: Dict[str, jax.Array], x: jax.Array, dtype) -> jax.Array:
+    """ReLU MLP, bias-free; matmuls in ``dtype``, f32 accumulation."""
     n = len(params)
-    h = x_t.astype(dtype)
+    h = x.astype(dtype)
     for i in range(n):
-        w_t = params[f"w{i}"].T.astype(dtype)  # (out, in)
-        h = jnp.dot(w_t, h, preferred_element_type=jnp.float32)
+        w = params[f"w{i}"].astype(dtype)
+        h = jnp.dot(h, w, preferred_element_type=jnp.float32)
         if i < n - 1:
             h = jax.nn.relu(h).astype(dtype)
-    return h  # (C_out, N), f32
-
-
-def _apply_mlp(params: Dict[str, jax.Array], x: jax.Array, dtype) -> jax.Array:
-    """Row-major MLP: (N, C_in) -> (N, C_out)."""
-    return _apply_mlp_t(params, x.T, dtype).T
+    return h  # f32 (from preferred_element_type)
 
 
 def init_field_params(key: jax.Array, cfg: FieldConfig) -> Dict[str, Any]:
@@ -145,31 +127,21 @@ def init_field_params(key: jax.Array, cfg: FieldConfig) -> Dict[str, Any]:
     }
 
 
-def query_sigma_t(
-    params: Dict[str, Any],
-    pos_t: jax.Array,
-    cfg: FieldConfig,
-    encode_fn=None,
-) -> jax.Array:
-    """Density head, point-minor fast path. pos_t: (3, N) in [-1, 1].
-    Returns (N,) raw sigma (NaN/inf clamped like reference
-    nerf_tcnn.py:74-78)."""
-    encode = encode_fn or hash_encode_t
-    pos01_t = (pos_t + 1.0) * 0.5
-    feats = encode(params["sigma"]["table"], pos01_t, cfg.pos_encoding_sigma)
-    sigma = _apply_mlp_t(params["sigma"]["mlp"], feats, cfg.compute_dtype)[0]
-    finfo = jnp.finfo(cfg.compute_dtype)
-    return jnp.nan_to_num(sigma, posinf=finfo.max, neginf=finfo.min)
-
-
 def query_sigma(
     params: Dict[str, Any],
     pos: jax.Array,
     cfg: FieldConfig,
     encode_fn=None,
 ) -> jax.Array:
-    """Row-major density head: (N, 3) -> (N, 1)."""
-    return query_sigma_t(params, pos.T, cfg, encode_fn=encode_fn)[:, None]
+    """Density head. pos: (N, 3) in [-1, 1]. Returns (N, 1) raw sigma.
+
+    ``encode_fn`` lets callers swap in the Pallas fused kernel; default is
+    the pure-XLA gather path.
+    """
+    encode = encode_fn or hash_encode
+    pos01 = (pos + 1.0) * 0.5
+    feats = encode(params["sigma"]["table"], pos01, cfg.pos_encoding_sigma)
+    return _apply_mlp(params["sigma"]["mlp"], feats, cfg.compute_dtype)
 
 
 def query_field(
@@ -185,27 +157,28 @@ def query_field(
 
     pos: (N, 3) in [-1, 1]; dirs: (N, 3) in [-1, 1] (unit view directions).
     Returns (N, 1) raw sigma if sigma_only else (N, C+1) [color.., sigma]
-    with sigmoid applied to color.
+    with sigmoid applied to color. NaN/inf sigmas are clamped like the
+    reference's warn-and-clip path (nerf_tcnn.py:74-78).
     """
-    if sigma_only:
-        return query_sigma_t(params, pos.T, cfg, encode_fn=encode_fn)[:, None]
-
     sigma_params = params["sigma"]
-    if detach_sigma:
+    if detach_sigma and not sigma_only:
         sigma_params = jax.lax.stop_gradient(sigma_params)
-    sigma = query_sigma_t(
-        {"sigma": sigma_params}, pos.T, cfg, encode_fn=encode_fn
-    )[:, None]
+    encode = encode_fn or hash_encode
+    pos01 = (pos + 1.0) * 0.5
+    feats = encode(sigma_params["table"], pos01, cfg.pos_encoding_sigma)
+    sigma = _apply_mlp(sigma_params["mlp"], feats, cfg.compute_dtype)
+    finfo = jnp.finfo(cfg.compute_dtype)
+    sigma = jnp.nan_to_num(sigma, posinf=finfo.max, neginf=finfo.min)
 
-    pos01_t = (pos.T + 1.0) * 0.5
-    h_x = hash_encode_t(
-        params["intensity"]["table"], pos01_t, cfg.pos_encoding_intensity
+    if sigma_only:
+        return sigma
+
+    dirs01 = (dirs + 1.0) * 0.5
+    h_x = encode(
+        params["intensity"]["table"], pos01, cfg.pos_encoding_intensity
     )
     if cfg.enable_view_dependence:
-        dirs01 = (dirs + 1.0) * 0.5
-        h_d = sh_encode(dirs01, cfg.sh_degree).T  # (16, N)
-        h_x = jnp.concatenate([h_x, h_d.astype(h_x.dtype)], axis=0)
-    color = jax.nn.sigmoid(
-        _apply_mlp_t(params["intensity"]["mlp"], h_x, cfg.compute_dtype)
-    ).T  # (N, C)
+        h_d = sh_encode(dirs01, cfg.sh_degree)
+        h_x = jnp.concatenate([h_x, h_d.astype(h_x.dtype)], axis=-1)
+    color = jax.nn.sigmoid(_apply_mlp(params["intensity"]["mlp"], h_x, cfg.compute_dtype))
     return jnp.concatenate([color, sigma], axis=-1)

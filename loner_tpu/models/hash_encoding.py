@@ -1,4 +1,4 @@
-"""Multiresolution hash-grid encoding in JAX, TPU-layout-aware.
+"""Multiresolution hash-grid encoding in JAX.
 
 TPU-native replacement for tiny-cuda-nn's HashGrid encoding (used by the
 reference at src/models/nerf_tcnn.py:35-52 with the configs in
@@ -9,20 +9,10 @@ cfg/nerf_config/default_nerf_hash.yaml). Semantics follow Instant-NGP:
   * levels whose dense vertex count fits in the table are indexed densely;
     finer levels use the xor-of-primes spatial hash
   * per-level F features, trilinearly interpolated at the 8 cell corners
-  * all levels' tables are concatenated so lookups are single gathers
-
-LAYOUT (the load-bearing design decision): TPU tiles pad the minor-most
-dimension of every array to 128 lanes. A naive (N, L, 8) index/weight
-tensor is padded 16x in HBM — measured as the difference between an
-OOM-at-34GB program and a 2GB one. So every large elementwise
-intermediate here is POINT-MINOR: indices and trilerp weights are
-(L*8, N). The table stays (T, F): the TPU compiler hangs on gathers from
-1-D operands (measured), so lookups are slice-gathers along the trailing
-feature dim and XLA chooses the intermediate layout. The spatial-hash
-modulo is a STATIC and-mask (2^log2 table sizes) — a runtime-vector
-modulo also hangs the compiler. The row-major ``hash_encode`` keeps the
-friendly (N, 3) -> (N, L*F) API by transposing at the boundary; the hot
-path calls ``hash_encode_t`` directly.
+  * all levels' tables are stored CONCATENATED in one ``(T_total, F)``
+    array so the lookup is a single gather per corner — XLA fuses the
+    trilerp arithmetic around it, and the Pallas fast path
+    (loner_tpu/ops/pallas) can DMA level-blocks explicitly.
 
 Inputs are in [0, 1]^3 (callers map the world cube's [-1,1] down, same as
 reference nerf_tcnn.py:63). Out-of-range inputs clamp.
@@ -84,11 +74,7 @@ class HashEncodingConfig:
 
 
 def init_hash_table(key: jax.Array, cfg: HashEncodingConfig, dtype=jnp.float32) -> jax.Array:
-    """(T_total, F) table, uniform in [-1e-4, 1e-4] (tcnn's init).
-
-    The trailing feature dim matters: the TPU compiler hangs on gathers
-    from 1-D operands but lowers (T, F) slice-gathers fine.
-    """
+    """(T_total, F) table, uniform in [-1e-4, 1e-4] (tcnn's init)."""
     return jax.random.uniform(
         key,
         (cfg.total_table_size, cfg.n_features_per_level),
@@ -98,7 +84,8 @@ def init_hash_table(key: jax.Array, cfg: HashEncodingConfig, dtype=jnp.float32) 
     )
 
 
-def _level_constants(cfg: HashEncodingConfig):
+def _level_constants(cfg: HashEncodingConfig) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Static per-level constants as arrays: resolution, table size, offset, dense flag."""
     res = jnp.asarray(cfg.level_resolutions(), dtype=jnp.uint32)
     sizes = jnp.asarray(cfg.level_table_sizes(), dtype=jnp.uint32)
     offsets = jnp.asarray(cfg.level_offsets()[:-1], dtype=jnp.uint32)
@@ -108,92 +95,71 @@ def _level_constants(cfg: HashEncodingConfig):
     return res, sizes, offsets, dense
 
 
-def hash_corner_indices_t(
-    pos_t: jax.Array, cfg: HashEncodingConfig
-) -> Tuple[jax.Array, jax.Array]:
-    """Corner indices and trilerp weights, point-minor layout.
+def hash_corner_indices(pos01: jax.Array, cfg: HashEncodingConfig) -> Tuple[jax.Array, jax.Array]:
+    """Corner indices and trilerp weights for all levels.
 
-    pos_t: (3, N) in [0, 1].
-    Returns (indices (L*8, N) int32, weights (L*8, N) float32); corner
-    order within a level is ``4*ix + 2*iy + iz``.
+    pos01: (N, 3) in [0, 1].
+    Returns (indices (N, L, 8) int32 into the concatenated table,
+             weights (N, L, 8) float32).
     """
     res, sizes, offsets, dense = _level_constants(cfg)
     n_levels = cfg.n_levels
-    n = pos_t.shape[1]
-    # The spatial hash is modulo the table size — 2^log2 exactly, so a
-    # STATIC AND mask (runtime-vector modulo hangs the TPU compiler).
-    hash_mask = jnp.uint32(2 ** cfg.log2_hashmap_size - 1)
 
-    pos_t = jnp.clip(pos_t, 0.0, 1.0)
-    # (L, 3, N): positions scaled into each level's grid.
-    scaled = pos_t[None, :, :] * res[:, None, None].astype(pos_t.dtype)
+    pos01 = jnp.clip(pos01, 0.0, 1.0)
+    # (N, L, 3): position scaled into each level's grid.
+    scaled = pos01[:, None, :] * res[None, :, None].astype(pos01.dtype)
     # Clamp the base cell to res-1 so corners stay within [0, res]; at the
     # pos=1 boundary frac becomes exactly 1 and interpolation stays correct.
-    cell = jnp.minimum(jnp.floor(scaled), (res[:, None, None] - 1).astype(pos_t.dtype))
+    cell = jnp.minimum(jnp.floor(scaled), (res[None, :, None] - 1).astype(pos01.dtype))
     frac = (scaled - cell).astype(jnp.float32)
-    cell = cell.astype(jnp.uint32)
-    c0, c1 = cell, cell + 1  # (L, 3, N)
+    cell = cell.astype(jnp.uint32)  # (N, L, 3)
 
-    r1 = (res + 1)[:, None]  # (L, 1)
-    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
-    dense_mask = dense[:, None]
-    offs = offsets[:, None]
+    # Build the 8 corners from per-axis factors — never materializes an
+    # (N, L, 8, 3) tensor (HBM matters at 2M-point batches). Corner order:
+    # index = 4*ix + 2*iy + iz.
+    n = pos01.shape[0]
+    c0 = cell  # (N, L, 3)
+    c1 = cell + 1
 
-    # Unrolled 8 corners (ix, iy, iz in {0,1}), corner index 4ix + 2iy + iz.
-    idx_corners, w_corners = [], []
-    for ix in (0, 1):
-        cx = c1[:, 0] if ix else c0[:, 0]
-        wxc = fx if ix else 1.0 - fx
-        for iy in (0, 1):
-            cy = c1[:, 1] if iy else c0[:, 1]
-            wyc = fy if iy else 1.0 - fy
-            for iz in (0, 1):
-                cz = c1[:, 2] if iz else c0[:, 2]
-                wzc = fz if iz else 1.0 - fz
-                dense_i = cx + cy * r1 + cz * (r1 * r1)
-                hash_i = (
-                    cx * jnp.uint32(_PRIMES[0])
-                    ^ cy * jnp.uint32(_PRIMES[1])
-                    ^ cz * jnp.uint32(_PRIMES[2])
-                ) & hash_mask
-                idx_corners.append(jnp.where(dense_mask, dense_i, hash_i) + offs)
-                w_corners.append(wxc * wyc * wzc)
+    # Trilerp weights as an outer product of per-axis (1-f, f) pairs.
+    wx = jnp.stack([1.0 - frac[..., 0], frac[..., 0]], axis=-1)  # (N, L, 2)
+    wy = jnp.stack([1.0 - frac[..., 1], frac[..., 1]], axis=-1)
+    wz = jnp.stack([1.0 - frac[..., 2], frac[..., 2]], axis=-1)
+    w = (
+        wx[..., :, None, None] * wy[..., None, :, None] * wz[..., None, None, :]
+    ).reshape(n, n_levels, 8)
 
-    # (L, 8, N) -> (L*8, N); corner is the middle axis.
-    idx = jnp.stack(idx_corners, axis=1).reshape(n_levels * 8, n)
-    w = jnp.stack(w_corners, axis=1).reshape(n_levels * 8, n)
+    r1 = (res + 1)[None, :]  # (1, L)
+    # Per-axis index contributions, combined by broadcasting to (N, L, 2, 2, 2).
+    dx = jnp.stack([c0[..., 0], c1[..., 0]], axis=-1)  # (N, L, 2)
+    dy = jnp.stack([c0[..., 1], c1[..., 1]], axis=-1) * r1[..., None]
+    dz = jnp.stack([c0[..., 2], c1[..., 2]], axis=-1) * (r1 * r1)[..., None]
+    dense_idx = (
+        dx[..., :, None, None] + dy[..., None, :, None] + dz[..., None, None, :]
+    ).reshape(n, n_levels, 8)
+
+    hx = jnp.stack([c0[..., 0], c1[..., 0]], axis=-1) * jnp.uint32(_PRIMES[0])
+    hy = jnp.stack([c0[..., 1], c1[..., 1]], axis=-1) * jnp.uint32(_PRIMES[1])
+    hz = jnp.stack([c0[..., 2], c1[..., 2]], axis=-1) * jnp.uint32(_PRIMES[2])
+    # Static AND mask instead of modulo: hashed levels have exactly
+    # 2^log2 entries, and a runtime-vector modulo hangs the TPU compiler.
+    hash_mask = jnp.uint32(2 ** cfg.log2_hashmap_size - 1)
+    hash_idx = (
+        hx[..., :, None, None] ^ hy[..., None, :, None] ^ hz[..., None, None, :]
+    ).reshape(n, n_levels, 8) & hash_mask
+
+    idx = jnp.where(dense[None, :, None], dense_idx, hash_idx)
+    idx = idx + offsets[None, :, None]
     return idx.astype(jnp.int32), w
 
 
-def hash_encode_t(table: jax.Array, pos_t: jax.Array, cfg: HashEncodingConfig) -> jax.Array:
-    """Encode (3, N) positions -> (L*F, N) features, point-minor.
-
-    One slice-gather from the (T, F) table; corner reduction over the
-    middle axis of the (L, 8, N, F) view. Output row order is level-major,
-    feature-minor: row ``l*F + f``.
-    """
-    idx, w = hash_corner_indices_t(pos_t, cfg)  # (L8, N)
-    n_levels, f_dim = cfg.n_levels, cfg.n_features_per_level
-    n = pos_t.shape[1]
-    feats = jnp.take(table, idx, axis=0)  # (L8, N, F)
-    out = (feats * w[..., None]).reshape(n_levels, 8, n, f_dim).sum(axis=1)
-    # (L, N, F) -> (L, F, N) -> (L*F, N), row l*F+f.
-    return jnp.moveaxis(out, -1, 1).reshape(n_levels * f_dim, n)
-
-
 def hash_encode(table: jax.Array, pos01: jax.Array, cfg: HashEncodingConfig) -> jax.Array:
-    """Row-major convenience API: (N, 3) -> (N, L*F).
+    """Encode (N, 3) positions -> (N, L*F) features (pure XLA path).
 
-    Transposes at the boundary; all heavy intermediates stay point-minor.
+    This is the correctness oracle for the Pallas kernel and the fallback
+    on CPU. One gather of shape (N, L, 8, F) + weighted sum.
     """
-    return hash_encode_t(table, pos01.T, cfg).T
-
-
-def hash_corner_indices(pos01: jax.Array, cfg: HashEncodingConfig):
-    """Row-major index/weight API (tests, tooling): (N, L, 8) x2."""
-    idx, w = hash_corner_indices_t(pos01.T, cfg)
-    n = pos01.shape[0]
-    return (
-        idx.reshape(cfg.n_levels, 8, n).transpose(2, 0, 1),
-        w.reshape(cfg.n_levels, 8, n).transpose(2, 0, 1),
-    )
+    idx, w = hash_corner_indices(pos01, cfg)
+    feats = jnp.take(table, idx, axis=0)  # (N, L, 8, F)
+    out = (feats * w[..., None].astype(feats.dtype)).sum(axis=2)  # (N, L, F)
+    return out.reshape(pos01.shape[0], cfg.output_dim)

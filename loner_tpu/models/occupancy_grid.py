@@ -21,20 +21,22 @@ def init_occ_grid(voxel_size: int = 100, dtype=jnp.float32) -> jax.Array:
     return jnp.zeros((voxel_size, voxel_size, voxel_size), dtype=dtype)
 
 
-def interpolate_occ_logits_t(grid: jax.Array, points_t: jax.Array) -> jax.Array:
-    """Trilinear interpolation of logits at point-minor points.
+def interpolate_occ_logits(grid: jax.Array, points: jax.Array) -> jax.Array:
+    """Trilinear interpolation of logits at points in [-1, 1]^3.
 
-    grid: (V, V, V); points_t: (3, N) in [-1, 1], ordered (x, y, z);
-    torch grid_sample convention: x indexes the LAST grid axis.
-    align_corners=False: voxel centers at (i + 0.5)/V mapped to [-1, 1];
-    out-of-range contributions are zero-padded (torch's default
-    padding_mode). Returns (N,).
+    grid: (V, V, V); points: (..., 3) ordered (x, y, z) like the renderer's
+    sample positions; torch grid_sample convention: x indexes the LAST grid
+    axis. align_corners=False: voxel centers at (i + 0.5)/V mapped to
+    [-1, 1]; out-of-range contributions are zero-padded (torch's default
+    padding_mode).
     """
     v = grid.shape[0]
+    shape = points.shape[:-1]
+    p = points.reshape(-1, 3)
     # [-1,1] -> continuous voxel coords with centers at integers.
-    coords = (points_t + 1.0) * 0.5 * v - 0.5  # (3, N)
+    coords = (p + 1.0) * 0.5 * v - 0.5  # (N, 3) in x,y,z order
     # grid_sample: x -> axis 2 (W), y -> axis 1 (H), z -> axis 0 (D)
-    cx, cy, cz = coords[0], coords[1], coords[2]
+    cx, cy, cz = coords[:, 0], coords[:, 1], coords[:, 2]
 
     def lerp_axis(c, size):
         c0 = jnp.floor(c)
@@ -69,18 +71,12 @@ def interpolate_occ_logits_t(grid: jax.Array, points_t: jax.Array) -> jax.Array:
         + g(z1, y1, x0, vz1 & vy1 & vx0) * fz * fy * (1 - fx)
         + g(z1, y1, x1, vz1 & vy1 & vx1) * fz * fy * fx
     )
-    return out
-
-
-def interpolate_occ_logits(grid: jax.Array, points: jax.Array) -> jax.Array:
-    """Row-major convenience API: points (..., 3) -> logits (...)."""
-    shape = points.shape[:-1]
-    return interpolate_occ_logits_t(grid, points.reshape(-1, 3).T).reshape(shape)
+    return out.reshape(shape)
 
 
 def occ_grid_update(
     grid: jax.Array,
-    points_t: jax.Array,
+    points: jax.Array,
     logits_grad: jax.Array,
     lr: float,
 ) -> jax.Array:
@@ -90,9 +86,7 @@ def occ_grid_update(
     ``interpolate(...).backward(gradient=logits_grad); SGD.step()``
     (optimizer.py:598-609): vjp of the interpolation scatters each point's
     gradient onto its 8 surrounding voxels with trilerp weights.
-
-    points_t: (3, N) point-minor; logits_grad: (N,).
     """
-    _, vjp = jax.vjp(lambda g: interpolate_occ_logits_t(g, points_t), grid)
+    _, vjp = jax.vjp(lambda g: interpolate_occ_logits(g, points), grid)
     (grid_grad,) = vjp(logits_grad)
     return grid - lr * grid_grad

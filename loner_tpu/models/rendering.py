@@ -7,12 +7,8 @@ is explicit PRNG keys (replacing torch.rand/randn).
 
 LONER ray format (reference ray_utils.py:313-315): each ray is 11 floats
 ``[origin(3), dir(3), viewdir(3), near, far]`` — we drop the unused (i, j)
-pixel slots from the reference's camera path; RAY_DIM documents the layout.
-
-LAYOUT: per-sample 3D point tensors are kept POINT-MINOR ((3, B*S), not
-(B*S, 3)) through the hot sigma path — TPU pads the minor dim to 128
-lanes, so (M, 3) arrays waste 42x HBM/bandwidth. (B, S) per-ray tensors
-(z values, weights) are naturally aligned since S is a multiple of 128.
+pixel slots from the reference's camera path and keep them implicit; the
+constant RAY_DIM documents the layout.
 """
 from __future__ import annotations
 
@@ -92,11 +88,6 @@ def stratified_z_vals(
         rand = perturb * jax.random.uniform(key, z.shape, dtype=z.dtype)
         z = lower + (upper - lower) * rand
     return z
-
-
-def points_along_rays_t(rays_o: jax.Array, rays_d: jax.Array, z_vals: jax.Array) -> jax.Array:
-    """(B, 3) origins/dirs + (B, S) z -> point-minor samples (3, B, S)."""
-    return rays_o.T[:, :, None] + rays_d.T[:, :, None] * z_vals[None, :, :]
 
 
 def raw2outputs(
@@ -180,7 +171,7 @@ class OccGridRaySampler:
     per call (pure function; no stored state inside jit)."""
 
     def get_samples(self, key, rays, n_samples, perturb, occ_grid=None):
-        from loner_tpu.models.occupancy_grid import interpolate_occ_logits_t
+        from loner_tpu.models.occupancy_grid import interpolate_occ_logits
 
         if occ_grid is None:
             return UniformRaySampler().get_samples(key, rays, n_samples, perturb)
@@ -191,10 +182,8 @@ class OccGridRaySampler:
         n_half = n_samples // 2
         z_vals = stratified_z_vals(k_uniform, near, far, n_half, perturb)
 
-        pts_t = points_along_rays_t(rays_o, rays_d, z_vals)  # (3, B, S/2)
-        logits = interpolate_occ_logits_t(occ_grid, pts_t.reshape(3, -1)).reshape(
-            z_vals.shape
-        )
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        logits = interpolate_occ_logits(occ_grid, pts)
         probs = jax.nn.sigmoid(logits)
         probs = 2.0 * (jnp.clip(probs, 0.5, 1.0) - 0.5)
 
@@ -225,15 +214,10 @@ def render_rays(
 ) -> Dict[str, jax.Array]:
     """Render a batch of rays (reference rendering_tcnn.py:192-267).
 
-    rays: (N, 11). Returns dict with depth/weights/opacity/z_vals and the
-    sample positions: ``points_t`` (3, N*S) point-minor in the sigma path
-    (fed to the occupancy update), ``points`` (N, S, 3) otherwise.
-
-    Field evaluation is blocked over ``point_chunk`` samples via lax.map +
-    jax.checkpoint (the TPU-native netchunk, reference model_tcnn.py:82-99)
-    to bound the live set of (L*8, block) encoding intermediates.
+    rays: (N, 11). Returns dict with depth/weights/opacity/z_vals/points
+    (names match the reference's *_fine keys minus the suffix).
     """
-    from loner_tpu.models.field import query_field, query_sigma_t
+    from loner_tpu.models.field import query_field
 
     k_sample, k_noise = (None, None) if key is None else jax.random.split(key)
 
@@ -242,29 +226,36 @@ def render_rays(
     far = rays[:, 10:11]
 
     z_vals = sampler.get_samples(k_sample, rays, n_samples, perturb, occ_grid)
-    n_rays, s = z_vals.shape
-    n_pts = n_rays * s
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]  # (N, S, 3)
 
+    n_rays, s = pts.shape[:2]
+    flat_pts = pts.reshape(-1, 3)
+    n_pts = flat_pts.shape[0]
+
+    # Block the field evaluation: the hash encoding materializes (B, L, 8)
+    # index/weight tensors, which at the full 2M-point training batch would
+    # blow past HBM. lax.map over fixed-size blocks bounds the live set to
+    # one block, and jax.checkpoint rematerializes the encoding in the
+    # backward pass instead of saving it (TPU-native equivalent of the
+    # reference's chunk/netchunk batching, model_tcnn.py:82-99 /
+    # rendering_tcnn.py:176-182 — trading FLOPs for HBM).
     block = point_chunk if point_chunk else n_pts
     use_blocks = n_pts > block and n_pts % block == 0
 
-    out_extra = {}
     if sigma_only:
-        pts_t = points_along_rays_t(rays_o, rays_d, z_vals).reshape(3, n_pts)
-
-        def eval_t(p_t):
-            return query_sigma_t(field_params, p_t, field_cfg, encode_fn=encode_fn)
+        def eval_pts(p):
+            return query_field(
+                field_params, p, None, field_cfg,
+                sigma_only=True, encode_fn=encode_fn,
+            )
 
         if use_blocks:
-            blocks = pts_t.reshape(3, -1, block).transpose(1, 0, 2)  # (nb, 3, blk)
-            sigma = jax.lax.map(jax.checkpoint(eval_t), blocks).reshape(n_pts)
+            raw = jax.lax.map(
+                jax.checkpoint(eval_pts), flat_pts.reshape(-1, block, 3)
+            ).reshape(n_pts, -1)
         else:
-            sigma = eval_t(pts_t)
-        raw = sigma.reshape(n_rays, s, 1)
-        out_extra["points_t"] = pts_t
+            raw = eval_pts(flat_pts)
     else:
-        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        flat_pts = pts.reshape(-1, 3)
         flat_dirs = jnp.repeat(viewdirs, s, axis=0)
 
         def eval_pts_dirs(pd):
@@ -281,8 +272,7 @@ def render_rays(
             ).reshape(n_pts, -1)
         else:
             raw = eval_pts_dirs((flat_pts, flat_dirs))
-        raw = raw.reshape(n_rays, s, -1)
-        out_extra["points"] = pts
+    raw = raw.reshape(n_rays, s, -1)
 
     out = raw2outputs(
         raw,
@@ -297,5 +287,5 @@ def render_rays(
         ret_var=ret_var,
     )
     out["z_vals"] = z_vals
-    out.update(out_extra)
+    out["points"] = pts
     return out

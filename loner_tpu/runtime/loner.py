@@ -33,6 +33,7 @@ from loner_tpu.common.signals import Signal, SharedState, StopSignal
 from loner_tpu.common.world_cube import WorldCube, compute_world_cube
 from loner_tpu.mapping.mapper import Mapper
 from loner_tpu.runtime.logger import DefaultLogger
+from loner_tpu.runtime.profiling import RunProfiler
 from loner_tpu.tracking.tracker import Tracker
 
 
@@ -140,6 +141,11 @@ class Loner:
         with open(os.path.join(self._log_directory, "full_config.pkl"), "wb") as f:
             pickle.dump(s.as_plain_dict(), f)
 
+        self._profiler = RunProfiler(
+            self._log_directory, enabled=bool(s.debug.get("profile", False))
+        )
+        self._profiler.start()
+
         self._mapper = Mapper(
             s.mapper,
             self._frame_signal,
@@ -174,6 +180,7 @@ class Loner:
                 self._logger.update()
                 time.sleep(0.1)
 
+        self._profiler.stop()
         self._logger.finish()
 
         if not self._single_threaded:

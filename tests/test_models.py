@@ -56,7 +56,7 @@ class TestHashEncoding:
         # Vertex (1, 2, 3) of the 5^3 dense grid -> pos01 = vertex / 4.
         pos = jnp.asarray([[1 / 4, 2 / 4, 3 / 4]], jnp.float32)
         out = hash_encode(table, pos, cfg)
-        expected = table[1 + 2 * 5 + 3 * 25]  # table is (T, F)
+        expected = table[1 + 2 * 5 + 3 * 25]
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(expected), atol=1e-6)
 
     def test_linear_along_axis(self):
@@ -245,10 +245,10 @@ class TestOccupancyGrid:
 
     def test_update_moves_logits(self):
         grid = init_occ_grid(16)
-        pts_t = jnp.zeros((3, 1), jnp.float32)  # point-minor layout
+        pts = jnp.zeros((1, 3), jnp.float32)
         g = jnp.asarray([-1.0], jnp.float32)  # push logits up (grad descent)
-        new = occ_grid_update(grid, pts_t, g, lr=0.1)
-        val = float(interpolate_occ_logits(new, pts_t.T)[0])
+        new = occ_grid_update(grid, pts, g, lr=0.1)
+        val = float(interpolate_occ_logits(new, pts)[0])
         assert val > 0
 
 
