@@ -73,6 +73,10 @@ class Mapper:
                 freeze_poses=bool(settings.optimizer.freeze_poses),
                 log_directory=settings.get("log_directory"),
                 profile_optimizer=bool(settings.debug.get("profile_optimizer", False)),
+                log_losses=bool(settings.debug.get("log_losses", False)),
+                write_ray_point_clouds=bool(
+                    settings.debug.get("write_ray_point_clouds", False)
+                ),
             )
         self._optimizer = optimizer
 

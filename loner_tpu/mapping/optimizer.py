@@ -316,6 +316,8 @@ class Optimizer:
         log_directory: Optional[str] = None,
         profile_optimizer: bool = False,
         verbose_timing: bool = False,
+        log_losses: bool = False,
+        write_ray_point_clouds: bool = False,
     ) -> None:
         self._cfg = cfg
         self._field_cfg = field_cfg
@@ -329,6 +331,8 @@ class Optimizer:
         self._log_directory = log_directory
         self._profile_optimizer = profile_optimizer
         self._verbose_timing = verbose_timing
+        self._log_losses = log_losses
+        self._write_ray_point_clouds = write_ray_point_clouds
 
         key = jax.random.key(seed)
         k_field, self._key = jax.random.split(key)
@@ -445,6 +449,13 @@ class Optimizer:
             self.state.global_step += eff_phase.num_iterations
             all_losses.append(np.asarray(losses))
             all_eps.append(np.asarray(eps_log))
+            if self._log_losses and self._log_directory is not None:
+                from loner_tpu.runtime.debug_artifacts import log_losses as _dump_losses
+
+                _dump_losses(
+                    all_losses[-1], all_eps[-1], self._log_directory,
+                    self._keyframe_count, len(all_losses) - 1,
+                )
 
         trace_ctx.__exit__(None, None, None)
 
@@ -456,6 +467,24 @@ class Optimizer:
         self.last_depth_eps = np.concatenate(all_eps)
         if not np.isfinite(self.last_losses).all():
             raise RuntimeError("NaN Loss Encountered")
+
+        if self._write_ray_point_clouds and self._log_directory is not None:
+            # Dump one representative sampled ray batch (debug flag,
+            # reference optimizer.py:307-312).
+            from loner_tpu.mapping.rays import sample_and_build_rays
+            from loner_tpu.runtime.debug_artifacts import dump_ray_point_cloud
+
+            rays, depths_cube, valid_mask = jax.jit(
+                sample_and_build_rays, static_argnums=(5, 6, 7)
+            )(
+                jax.random.key(0), buffers, twists, self._world_scale,
+                self._world_shift, self._cfg.ray_range, self._cfg.n_lidar_samples, 0,
+            )
+            v = np.asarray(valid_mask)
+            dump_ray_point_cloud(
+                np.asarray(rays)[v], np.asarray(depths_cube)[v],
+                self._log_directory, f"kf_{self._keyframe_count}",
+            )
 
         # Write optimized poses back into the window keyframes.
         if not self._use_gt_poses:

@@ -104,6 +104,12 @@ class Tracker:
                 continue
             if self._settings.get("compute_sky_rays", False):
                 self.compute_sky_rays(frame)
+            if self._settings.get("debug", {}).get("write_frame_point_clouds", False):
+                from loner_tpu.runtime.debug_artifacts import dump_frame_point_cloud
+
+                dump_frame_point_cloud(
+                    frame, self._settings.log_directory, self._frame_count
+                )
             self._frame_signal.emit(frame)
             self._frame_count += 1
             self._last_tracked_frame_time = frame.get_time()
@@ -155,6 +161,13 @@ class Tracker:
             pad_size=self._icp_pad,
         )
         registration = np.asarray(result.transformation, np.float64)
+
+        # Failure detection the reference lacks (its track_frame always
+        # returns True, tracker.py:118-120): reject degenerate registrations
+        # so one bad frame can't corrupt the reference cloud chain.
+        min_fitness = float(self._settings.icp.get("min_fitness", 0.1))
+        if not np.isfinite(registration).all() or float(result.fitness) < min_fitness:
+            return False
 
         tracked = Pose(self._reference_pose.matrix @ registration)
         new_reference_time = frame.get_middle_time()

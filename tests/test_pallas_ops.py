@@ -1,0 +1,51 @@
+"""Pallas kernels vs their XLA reference implementations (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from loner_tpu.models.rendering import raw2outputs
+from loner_tpu.ops.pallas.composite import composite_rays
+
+
+def test_composite_matches_raw2outputs():
+    rng = np.random.default_rng(0)
+    b, s = 256, 128
+    z = np.sort(rng.uniform(0.05, 0.9, (b, s)).astype(np.float32), axis=1)
+    sigma = rng.normal(2.0, 3.0, (b, s)).astype(np.float32)
+    far = np.full((b,), 0.95, np.float32)
+    dnorm = np.ones((b,), np.float32)
+
+    depth, opacity, var, weights = composite_rays(
+        jnp.asarray(z), jnp.asarray(sigma), jnp.asarray(far), jnp.asarray(dnorm),
+        interpret=True,
+    )
+
+    ref = raw2outputs(
+        jnp.asarray(sigma)[..., None],
+        jnp.asarray(z),
+        jnp.asarray(np.stack([dnorm, np.zeros(b), np.zeros(b)], 1)),
+        sigma_only=True,
+        far=jnp.asarray(far)[:, None],
+        ret_var=True,
+    )
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref["depth"]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(opacity), np.asarray(ref["opacity"]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(weights), np.asarray(ref["weights"]), rtol=5e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(ref["variance"]), rtol=1e-3, atol=2e-4)
+
+
+def test_composite_empty_and_opaque():
+    b, s = 256, 128
+    z = np.tile(np.linspace(0.1, 0.8, s, dtype=np.float32), (b, 1))
+    sigma = np.zeros((b, s), np.float32)
+    sigma[: b // 2, s // 2] = 1e8  # first half: hard wall mid-ray
+    far = np.full((b,), 0.9, np.float32)
+    depth, opacity, _, _ = composite_rays(
+        jnp.asarray(z), jnp.asarray(sigma), jnp.asarray(far), jnp.ones(b),
+        interpret=True,
+    )
+    depth, opacity = np.asarray(depth), np.asarray(opacity)
+    np.testing.assert_allclose(depth[: b // 2], z[0, s // 2], atol=1e-3)
+    np.testing.assert_allclose(opacity[: b // 2], 1.0, atol=1e-4)
+    np.testing.assert_allclose(depth[b // 2 :], 0.9, atol=1e-4)  # far residual
+    np.testing.assert_allclose(opacity[b // 2 :], 0.0, atol=1e-5)
