@@ -126,7 +126,15 @@ def main() -> None:
     parser.add_argument(
         "--lite", action="store_true", help="reduced model for quick runs / CPU"
     )
+    parser.add_argument(
+        "--cpu", action="store_true", help="force the CPU backend (debugging)"
+    )
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     # Sequence-config support (reference per-sequence yamls): a file with
     # `baseline:` + `changes:` loads the baseline and applies the overlay;

@@ -6,7 +6,8 @@ every ``skip_step``-th keyframe pose, each ray's per-sample rendering
 *weights* are splatted into a uniform grid with a max-reduce, and
 marching cubes runs at ``level`` on that weight grid, rescaled out of the
 world cube. Splatting runs on device (scatter-max); marching cubes stays
-host-side (scikit-image, like the reference).
+host-side (scikit-image when present, else the built-in vectorized
+marching-tetrahedra, loner_tpu/ops/marching.py).
 """
 from __future__ import annotations
 
@@ -94,7 +95,10 @@ def get_mesh(
     out_file: Optional[str] = None,
 ):
     """Extract and save the mesh as .ply; returns (verts, faces)."""
-    from skimage.measure import marching_cubes
+    try:
+        from skimage.measure import marching_cubes
+    except ImportError:
+        from loner_tpu.ops.marching import marching_cubes_compat as marching_cubes
 
     model = load_experiment(log_dir, ckpt_name)
     mats, _ = kf_pose_matrices(model, use_gt=use_gt_poses)

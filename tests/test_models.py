@@ -332,3 +332,27 @@ class TestRenderRays:
         f = jax.jit(lambda p, x: query_sigma(p, x, cfg))
         out = f(params, jnp.zeros((16, 3), jnp.float32))
         assert out.shape == (16, 1)
+
+
+class TestMarchingTetrahedra:
+    def test_sphere_surface(self):
+        from loner_tpu.ops.marching import marching_tetrahedra
+
+        n = 24
+        coords = np.stack(
+            np.meshgrid(*([np.arange(n)] * 3), indexing="ij"), axis=-1
+        ).astype(np.float32)
+        center, radius = (n - 1) / 2.0, 7.0
+        field = radius - np.linalg.norm(coords - center, axis=-1)  # >0 inside
+        verts, faces = marching_tetrahedra(field, 0.0)
+        assert len(verts) > 100 and len(faces) > 100
+        # All vertices lie near the sphere of the given radius.
+        d = np.linalg.norm(verts - center, axis=-1)
+        np.testing.assert_allclose(d, radius, atol=0.35)
+        assert faces.max() < len(verts)
+
+    def test_empty_field(self):
+        from loner_tpu.ops.marching import marching_tetrahedra
+
+        verts, faces = marching_tetrahedra(np.zeros((8, 8, 8), np.float32), 0.5)
+        assert len(verts) == 0 and len(faces) == 0
