@@ -87,11 +87,15 @@ def main() -> None:
         np.asarray(out[3])
         return (out[0], out[1], out[2])
 
-    state = run(state, 0, 1, 10)  # warmup + compile
+    import sys
+
+    print("bench: compiling + warmup...", file=sys.stderr, flush=True)
+    state = run(state, 0, 1, 5)  # warmup + compile
+    print("bench: timing...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    n_phases, iters_per_phase = 4, 50
+    n_phases, iters_per_phase = 3, 50
     for i in range(n_phases):
-        state = run(state, 10 + iters_per_phase * i, 2 + i, iters_per_phase)
+        state = run(state, 5 + iters_per_phase * i, 2 + i, iters_per_phase)
     elapsed = time.perf_counter() - t0
 
     iters = iters_per_phase * n_phases
