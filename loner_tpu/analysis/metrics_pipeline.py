@@ -61,7 +61,9 @@ def summarize_results(
     for trial, res in results.items():
         if "error" in res:
             continue
-        config = os.path.dirname(trial) or "."
+        # config_i/trial_j layouts group by config_i; flat layouts (no
+        # trial level) group by the leaf itself.
+        config = os.path.dirname(trial) or trial
         by_config.setdefault(config, []).append(res["ate"]["rmse"])
 
     lines = ["config,num_trials,ate_rmse_mean,ate_rmse_median,ate_rmse_min"]
