@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from loner_tpu.analysis.mesher import read_ply_vertices, sample_mesh_points
+from loner_tpu.analysis.mesher import sample_mesh_points
 from loner_tpu.analysis.renderer_lidar import write_pcd
 from loner_tpu.ops.voxel import voxel_downsample
 

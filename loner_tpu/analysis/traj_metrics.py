@@ -11,7 +11,7 @@ dependency.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy.spatial.transform import Rotation as _R

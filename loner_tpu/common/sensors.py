@@ -14,7 +14,7 @@ and keeping it off-device avoids one recompile-per-scan-shape hazard.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple, Union
 
 import numpy as np

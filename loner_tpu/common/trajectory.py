@@ -7,7 +7,7 @@ examples/fusion_portable/create_lidar_map.py). TUM rows are
 """
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy.spatial.transform import Rotation as _R

@@ -12,7 +12,7 @@ Transformation convention (same as reference ray_utils.py:282-284):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

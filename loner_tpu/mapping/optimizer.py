@@ -380,7 +380,6 @@ class Optimizer:
         The window is a list of mapping.keyframe.KeyFrame; optimized poses
         are written back into the keyframes (twist convention).
         """
-        from loner_tpu.mapping.keyframe import KeyFrame  # circular-safe
         from loner_tpu.runtime.profiling import optimizer_trace
 
         start_time = time.time()

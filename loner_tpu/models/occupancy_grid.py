@@ -10,8 +10,6 @@ exactly the reference's ``point_logits.backward(gradient=g)`` + SGD step.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -15,7 +15,6 @@ from typing import List, Optional
 
 import numpy as np
 
-from loner_tpu.common.frame import Frame
 from loner_tpu.common.pose import Pose
 from loner_tpu.common.signals import Signal, StopSignal
 from loner_tpu.common.trajectory import dump_trajectory_to_tum

@@ -6,9 +6,7 @@ rate; the camera path matches images to scans by timestamp tolerance.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple, Union
-
-import numpy as np
+from typing import List, Optional, Tuple
 
 from loner_tpu.common.frame import Frame
 from loner_tpu.common.pose import Pose

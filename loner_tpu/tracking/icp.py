@@ -21,7 +21,6 @@ Point clouds are padded to a static size with a validity mask.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Tuple
 
