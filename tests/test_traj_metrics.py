@@ -1,0 +1,100 @@
+"""Golden tests for the native ATE/RPE implementation (evo replacement)."""
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as _R
+
+from loner_tpu.analysis.traj_metrics import (
+    associate,
+    ate,
+    rpe,
+    umeyama_alignment,
+)
+
+
+def make_traj(n=50, step=0.5):
+    """Straight-line trajectory with yaw."""
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, 0, 3] = np.arange(n) * step
+    poses[:, :3, :3] = _R.from_euler("z", (np.arange(n) * 0.01).reshape(-1, 1)).as_matrix()
+    ts = 100.0 + np.arange(n) * 0.1
+    return poses, ts
+
+
+class TestAssociation:
+    def test_exact_match(self):
+        a = np.array([1.0, 2.0, 3.0])
+        b = np.array([1.0, 2.0, 3.0, 4.0])
+        ia, ib = associate(a, b)
+        np.testing.assert_array_equal(ia, [0, 1, 2])
+        np.testing.assert_array_equal(ib, [0, 1, 2])
+
+    def test_tolerance_rejects(self):
+        a = np.array([1.0, 2.5])
+        b = np.array([1.005, 2.0])
+        ia, ib = associate(a, b, max_diff=0.02)
+        np.testing.assert_array_equal(ia, [0])
+
+
+class TestUmeyama:
+    def test_recovers_rigid_transform(self):
+        rng = np.random.default_rng(0)
+        src = rng.normal(size=(100, 3))
+        rot = _R.from_rotvec([0.2, -0.1, 0.4]).as_matrix()
+        t = np.array([1.0, -2.0, 0.5])
+        dst = src @ rot.T + t
+        m = umeyama_alignment(src, dst)
+        np.testing.assert_allclose(m[:3, :3], rot, atol=1e-9)
+        np.testing.assert_allclose(m[:3, 3], t, atol=1e-9)
+
+
+class TestATE:
+    def test_identical_zero(self):
+        poses, ts = make_traj()
+        res = ate(poses, ts, poses, ts)
+        assert res.rmse == pytest.approx(0.0, abs=1e-9)
+
+    def test_alignment_removes_rigid_offset(self):
+        poses, ts = make_traj()
+        offset = np.eye(4)
+        offset[:3, 3] = [5.0, -3.0, 1.0]
+        offset[:3, :3] = _R.from_euler("z", [[0.3]]).as_matrix()[0]
+        shifted = offset[None] @ poses
+        res = ate(shifted, ts, poses, ts, align=True)
+        assert res.rmse == pytest.approx(0.0, abs=1e-9)
+        res_noalign = ate(shifted, ts, poses, ts, align=False)
+        assert res_noalign.rmse > 1.0
+
+    def test_known_noise_level(self):
+        poses, ts = make_traj()
+        noisy = poses.copy()
+        noisy[:, 0, 3] += 0.1  # constant x offset -> removed by alignment
+        noisy[::2, 1, 3] += 0.2  # alternating y: not removable
+        res = ate(noisy, ts, poses, ts, align=True)
+        assert res.rmse == pytest.approx(0.1, abs=0.02)
+
+
+class TestRPE:
+    def test_identical_zero(self):
+        poses, ts = make_traj()
+        res = rpe(poses, ts, poses, ts, delta_m=3.0)
+        assert res.rmse == pytest.approx(0.0, abs=1e-9)
+
+    def test_drift_detected(self):
+        poses, ts = make_traj(step=0.5)
+        drifted = poses.copy()
+        # 1% scale drift in x.
+        drifted[:, 0, 3] *= 1.01
+        res = rpe(drifted, ts, poses, ts, delta_m=3.0)
+        # Each ~3 m segment drifts ~3 cm.
+        assert res.mean == pytest.approx(0.03, abs=0.01)
+
+    def test_rotation_rpe(self):
+        poses, ts = make_traj()
+        twisted = poses.copy()
+        # Constant extra yaw per pose compounds across segments.
+        extra = _R.from_euler("z", [[0.005]]).as_matrix()[0]
+        for i in range(len(poses)):
+            twisted[i, :3, :3] = np.linalg.matrix_power(extra, i) @ poses[i, :3, :3]
+        res = rpe(twisted, ts, poses, ts, delta_m=3.0, rotation=True)
+        # 6 poses per 3 m -> ~0.03 rad = 1.7 deg per segment.
+        assert res.mean == pytest.approx(np.rad2deg(0.03), rel=0.3)
