@@ -94,11 +94,21 @@ def render_full_map(
     var_threshold: float = 1.0,
     n_samples: int = 1024,
     out_dir: Optional[str] = None,
+    translation_noise: float = 0.0,
+    noise_seed: int = 0,
 ) -> np.ndarray:
     """Render virtual scans at every skip_step-th keyframe pose and merge
-    into a voxel-downsampled map cloud."""
+    into a voxel-downsampled map cloud.
+
+    ``translation_noise`` perturbs render poses (map-quality robustness
+    probing, the reference's --translation_noise,
+    renderer_lidar.py:113,254-256)."""
     model = load_experiment(log_dir, ckpt_name)
     mats, _ = kf_pose_matrices(model, use_gt=use_gt_poses)
+    if translation_noise > 0:
+        rng = np.random.default_rng(noise_seed)
+        mats = mats.copy()
+        mats[:, :3, 3] += rng.normal(0, translation_noise, (mats.shape[0], 3))
     ray_range = tuple(
         float(x)
         for x in model.settings.mapper.optimizer.model_config["data"]["ray_range"]
@@ -131,6 +141,7 @@ if __name__ == "__main__":
     p.add_argument("--skip_step", type=int, default=1)
     p.add_argument("--use_gt_poses", action="store_true")
     p.add_argument("--var_threshold", type=float, default=1.0)
+    p.add_argument("--translation_noise", type=float, default=0.0)
     args = p.parse_args()
     ckpt = args.ckpt_id if args.ckpt_id.endswith(".tar") else f"{args.ckpt_id}.tar"
     if not ckpt.startswith("ckpt_") and not ckpt.startswith("final"):
@@ -142,5 +153,6 @@ if __name__ == "__main__":
         skip_step=args.skip_step,
         use_gt_poses=args.use_gt_poses,
         var_threshold=args.var_threshold,
+        translation_noise=args.translation_noise,
     )
     print(f"rendered map cloud: {pts.shape[0]} points")
