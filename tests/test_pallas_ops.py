@@ -49,3 +49,23 @@ def test_composite_empty_and_opaque():
     np.testing.assert_allclose(opacity[: b // 2], 1.0, atol=1e-4)
     np.testing.assert_allclose(depth[b // 2 :], 0.9, atol=1e-4)  # far residual
     np.testing.assert_allclose(opacity[b // 2 :], 0.0, atol=1e-5)
+
+
+def test_fused_trilerp_mlp_matches_query_sigma():
+    from loner_tpu.models.field import FieldConfig, init_field_params, query_sigma
+    from loner_tpu.models.hash_encoding import HashEncodingConfig
+    from loner_tpu.ops.pallas.hash_mlp import query_sigma_fused
+
+    cfg = FieldConfig(
+        pos_encoding_sigma=HashEncodingConfig(n_levels=4, log2_hashmap_size=12),
+        pos_encoding_intensity=HashEncodingConfig(n_levels=2, log2_hashmap_size=10),
+        sigma_mlp=__import__(
+            "loner_tpu.models.field", fromlist=["MLPConfig"]
+        ).MLPConfig(n_neurons=64, n_hidden_layers=1, output_dim=1),
+    )
+    params = init_field_params(jax.random.key(0), cfg)
+    pos = jax.random.uniform(jax.random.key(1), (512, 3), minval=-0.8, maxval=0.8)
+
+    ref = np.asarray(query_sigma(params, pos, cfg))
+    fused = np.asarray(query_sigma_fused(params, pos, cfg, interpret=True))
+    np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-5)
