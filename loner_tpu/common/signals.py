@@ -64,12 +64,19 @@ class Signal:
             slots = list(self._slots)
         for slot in slots:
             slot._put(value)
-        if self._synchronous and not self._single_process:
-            # Rendezvous: wait until every consumer has drained the item
-            # (reference signals.py:117-121 busy-waits the same way).
+        # Rendezvous: wait until every consumer has drained the item
+        # (reference signals.py:117-121 busy-waits the same way).
+        # StopSignal is exempt: a consumer that already processed a stop
+        # from another signal has exited its loop and will never drain
+        # this one — rendezvous would deadlock the shutdown handshake.
+        if (
+            self._synchronous
+            and not self._single_process
+            and not isinstance(value, StopSignal)
+        ):
             for slot in slots:
                 while slot.has_value():
-                    time.sleep(1e-4)
+                    time.sleep(1e-3)
 
     def flush(self) -> int:
         """Drop all pending items; returns the number dropped."""

@@ -153,11 +153,12 @@ def generate_sequence(
     lidar: Optional[VirtualLidar] = None,
     noise_std: float = 0.0,
     rate_hz: float = 10.0,
+    angular_span: float = 1.5 * np.pi,
 ) -> Tuple[List[LidarScan], np.ndarray, np.ndarray, BoxRoomScene, VirtualLidar]:
     """A full synthetic sequence: scans + GT poses + timestamps."""
     scene = scene or BoxRoomScene()
     lidar = lidar or VirtualLidar()
-    poses, ts = make_trajectory(scene, num_scans, rate_hz=rate_hz)
+    poses, ts = make_trajectory(scene, num_scans, rate_hz=rate_hz, angular_span=angular_span)
     scans = [
         make_scan(scene, lidar, Pose(poses[i]), ts[i], noise_std=noise_std, seed=i)
         for i in range(num_scans)

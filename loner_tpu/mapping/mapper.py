@@ -95,15 +95,17 @@ class Mapper:
     def keyframe_manager(self) -> KeyFrameManager:
         return self._keyframe_manager
 
-    def update(self) -> None:
+    def update(self) -> bool:
         tic = time.time()
         did_map_frame = False
+        did_work = False
 
         if self._frame_slot.has_value():
             new_frame: Union[StopSignal, Frame] = self._frame_slot.get_value()
+            did_work = True
             if isinstance(new_frame, StopSignal):
                 self.processed_stop_signal = True
-                return
+                return True
 
             if self._settings.debug.get("use_groundtruth_poses", False):
                 new_frame._lidar_pose = new_frame._gt_lidar_pose
@@ -150,12 +152,13 @@ class Mapper:
         if did_map_frame and self._settings.debug.get("log_times", False):
             with open(f"{self._log_directory}/map_times.csv", "a+") as f:
                 f.write(f"{time.time() - tic}\n")
+        return did_work
 
     def run(self, shared_state: SharedState) -> None:
         self._shared_state = shared_state
         while not self.processed_stop_signal:
-            self.update()
-            time.sleep(1e-4)
+            did_work = self.update()
+            time.sleep(1e-4 if did_work else 5e-3)
         self.finish()
         print("Mapping Done.")
 

@@ -64,9 +64,10 @@ class Tracker:
         )
 
     # -- pipeline ------------------------------------------------------------
-    def update(self) -> None:
+    def update(self) -> bool:
         tic = time.time()
         num_tracked = 0
+        did_work = False
 
         # Throttle: don't run ahead of the mapper (reference tracker.py:86-88).
         if (
@@ -85,16 +86,18 @@ class Tracker:
             val = self._rgb_slot.get_value()
             if isinstance(val, StopSignal):
                 self.processed_stop_signal = True
-                return
+                return True
             self._frame_synthesizer.process_image(val)
+            did_work = True
 
         if self._lidar_slot.has_value():
             val = self._lidar_slot.get_value()
             if isinstance(val, StopSignal):
                 self.processed_stop_signal = True
-                return
+                return True
             scan, gt_pose = val
             self._frame_synthesizer.process_lidar(scan, gt_pose)
+            did_work = True
 
         while self._frame_synthesizer.has_frame():
             frame = self._frame_synthesizer.pop_frame()
@@ -118,12 +121,20 @@ class Tracker:
         if num_tracked > 0 and self._settings.get("debug", {}).get("log_times", False):
             with open(f"{self._settings.log_directory}/track_times.csv", "a+") as f:
                 f.write(f"{time.time() - tic},{num_tracked}\n")
+        return did_work or num_tracked > 0
 
     def run(self, shared_state: SharedState) -> None:
         self._shared_state = shared_state
         while not self.processed_stop_signal:
-            self.update()
-            time.sleep(1e-4)
+            # Back off when idle: on small hosts a busy poll starves the
+            # sibling mapper thread's compute dispatch.
+            did_work = self.update()
+            time.sleep(1e-4 if did_work else 5e-3)
+        # Drain leftovers so no producer can rendezvous on a dead consumer.
+        for slot in (self._lidar_slot, self._rgb_slot):
+            if slot is not None:
+                while slot.has_value():
+                    slot.get_value()
         print("Tracking Done.")
 
     # -- core -----------------------------------------------------------------
