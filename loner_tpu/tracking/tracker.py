@@ -52,6 +52,14 @@ class Tracker:
         self._reference_points: Optional[np.ndarray] = None
         self._reference_pose = Pose.identity()
         self._reference_time: Optional[float] = None
+        # Constant-velocity model: last frame-to-frame relative transform,
+        # used as the ICP initial guess (the reference always starts from
+        # identity, tracker.py:201 — this roughly doubles the tolerable
+        # per-frame motion).
+        self._last_relative = np.eye(4)
+        self._use_velocity_init = bool(
+            self._settings.icp.get("constant_velocity_init", True)
+        )
 
         self._frame_count = 0
         self._last_tracked_frame_time = 0.0
@@ -165,11 +173,13 @@ class Tracker:
             self._reference_time = frame.get_middle_time()
             return True
 
+        init = self._last_relative if self._use_velocity_init else None
         result = run_icp_schedule(
             cloud,
             self._reference_points,
             [dict(s) for s in self._settings.icp.schedule],
             pad_size=self._icp_pad,
+            init=init,
         )
         registration = np.asarray(result.transformation, np.float64)
 
@@ -194,6 +204,7 @@ class Tracker:
         self._reference_time = new_reference_time
         self._reference_pose = tracked
         self._reference_points = cloud
+        self._last_relative = registration
         return True
 
     # -- sky rays --------------------------------------------------------------
