@@ -28,7 +28,7 @@ enable_persistent_cache()
 
 from loner_tpu.common.pose import Pose
 from loner_tpu.common.settings import Settings, generate_options
-from loner_tpu.datasets.scan_stream import ScanStreamReader, apply_fov_mask, apply_min_range
+from loner_tpu.datasets.scan_stream import ScanStreamReader, apply_fov_mask
 from loner_tpu.runtime.loner import Loner
 
 
@@ -81,7 +81,6 @@ def run_trial(
     )
     loner.start()
 
-    gt_interp = reader.gt_interpolator
     gt_offset = None
 
     start = time.time()
