@@ -94,6 +94,7 @@ def compute_lidar_loss(
     global_step: jax.Array,
     encode_fn=None,
     point_chunk: int = 131072,
+    remat_blocks: bool = True,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Render the batch and assemble the total loss. Returns (loss, aux)
     where aux carries what the occupancy-grid update and logging need."""
@@ -116,6 +117,7 @@ def compute_lidar_loss(
         occ_grid=occ_grid,
         encode_fn=encode_fn,
         point_chunk=point_chunk,
+        remat_blocks=remat_blocks,
     )
 
     z_m = result["z_vals"] * world_scale  # (B, S) meters

@@ -82,6 +82,14 @@ class OptimizerConfig:
     window_size: int = 8
     enable_sky: bool = False
     point_chunk: int = 131072  # 0 = evaluate all samples in one block
+    # Hash-encode implementation for training: "vjp_bf16" (custom-VJP
+    # encode, bf16 gather/residuals — the fast path), "vjp_f32" (custom
+    # VJP, full precision), or "xla" (autodiff of the gather oracle).
+    encode_impl: str = "vjp_bf16"
+    # Iterations fused into one dispatched program via lax.scan. >1 cuts
+    # per-dispatch host/tunnel overhead by k; the remainder of a phase
+    # runs on a single-step program.
+    steps_per_dispatch: int = 10
     loss: LossConfig = LossConfig()
 
     @staticmethod
@@ -154,6 +162,18 @@ def make_phase_runner(
     optimize_poses = not phase.freeze_poses
     optimize_sigma = not phase.freeze_sigma_mlp
 
+    # Training encode path. The custom-VJP encode saves gathered corner
+    # features instead of rematerializing them, so the per-block
+    # jax.checkpoint must be OFF for it (it would discard the residuals
+    # and re-gather, defeating the point).
+    remat_blocks = True
+    if encode_fn is None and cfg.encode_impl != "xla":
+        from loner_tpu.models.hash_encoding import hash_encode_train
+
+        dt = jnp.bfloat16 if cfg.encode_impl == "vjp_bf16" else jnp.float32
+        encode_fn = hash_encode_train(compute_dtype=dt, residual_dtype=dt)
+        remat_blocks = False
+
     tx = optax.multi_transform(
         {
             "sigma": _adam_with_schedule(cfg.lr_sigma, cfg.lr_gamma),
@@ -201,12 +221,12 @@ def make_phase_runner(
             global_step,
             encode_fn=encode_fn,
             point_chunk=cfg.point_chunk,
+            remat_blocks=remat_blocks,
         )
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(
+    def step_core(
         opt_params,
         opt_state,
         occ_grid,
@@ -251,6 +271,38 @@ def make_phase_runner(
 
         return opt_params, opt_state, occ_grid, loss, aux["depth_eps"]
 
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(opt_params, opt_state, occ_grid, static_intensity, buffers,
+             pose_mask, world_scale, world_shift, it_idx, global_step, key):
+        return step_core(
+            opt_params, opt_state, occ_grid, static_intensity, buffers,
+            pose_mask, world_scale, world_shift, it_idx, global_step, key,
+        )
+
+    # k iterations fused into ONE dispatched program: the per-dispatch
+    # host/tunnel cost (argument marshalling across the device transport)
+    # is paid once per k steps instead of every step. The scan body is
+    # compiled once, so compile time matches the single-step program.
+    k_fused = max(int(cfg.steps_per_dispatch), 1)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def multi_step(opt_params, opt_state, occ_grid, static_intensity, buffers,
+                   pose_mask, world_scale, world_shift, it0, gs0, key):
+        def body(carry, i):
+            p, s, og = carry
+            sub = jax.random.fold_in(key, i)
+            p, s, og, loss, eps = step_core(
+                p, s, og, static_intensity, buffers, pose_mask,
+                world_scale, world_shift, it0 + i, gs0 + i, sub,
+            )
+            return (p, s, og), (loss, eps)
+
+        (opt_params, opt_state, occ_grid), (losses, epss) = jax.lax.scan(
+            body, (opt_params, opt_state, occ_grid),
+            jnp.arange(k_fused, dtype=jnp.int32),
+        )
+        return opt_params, opt_state, occ_grid, losses, epss
+
     def run_phase(
         field_params: Dict[str, Any],
         occ_grid: jax.Array,
@@ -270,24 +322,36 @@ def make_phase_runner(
         step0 = int(global_step0)
 
         losses, eps_log = [], []
-        keys = jax.random.split(key, n_iters)
-        for i in range(n_iters):
+        i = 0
+        if k_fused > 1:
+            while i + k_fused <= n_iters:
+                opt_params, opt_state, occ_grid, ls, es = multi_step(
+                    opt_params, opt_state, occ_grid, static_intensity, buffers,
+                    pose_mask, world_scale, world_shift,
+                    jnp.asarray(i, jnp.int32), jnp.asarray(step0 + i, jnp.int32),
+                    jax.random.fold_in(key, i),
+                )
+                losses.append(ls)
+                eps_log.append(es)
+                i += k_fused
+        while i < n_iters:
             opt_params, opt_state, occ_grid, loss, eps = step(
                 opt_params, opt_state, occ_grid, static_intensity, buffers,
                 pose_mask, world_scale, world_shift,
                 jnp.asarray(i, jnp.int32), jnp.asarray(step0 + i, jnp.int32),
-                keys[i],
+                jax.random.fold_in(jax.random.fold_in(key, i), 1),
             )
-            losses.append(loss)
-            eps_log.append(eps)
+            losses.append(loss[None] if loss.ndim == 0 else loss)
+            eps_log.append(eps[None] if eps.ndim == 0 else eps)
+            i += 1
 
         new_field = {"sigma": opt_params["sigma"], "intensity": static_intensity}
         return (
             new_field,
             occ_grid,
             opt_params["twists"],
-            jnp.stack(losses),
-            jnp.stack(eps_log),
+            jnp.concatenate(losses) if losses else jnp.zeros((0,), jnp.float32),
+            jnp.concatenate(eps_log) if eps_log else jnp.zeros((0,), jnp.float32),
         )
 
     return run_phase

@@ -20,6 +20,7 @@ reference nerf_tcnn.py:63). Out-of-range inputs clamp.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -95,16 +96,14 @@ def _level_constants(cfg: HashEncodingConfig) -> Tuple[jnp.ndarray, jnp.ndarray,
     return res, sizes, offsets, dense
 
 
-def hash_corner_indices(pos01: jax.Array, cfg: HashEncodingConfig) -> Tuple[jax.Array, jax.Array]:
-    """Corner indices and trilerp weights for all levels.
+def _corner_geometry(pos01: jax.Array, cfg: HashEncodingConfig):
+    """Shared cell/fraction geometry for all levels.
 
-    pos01: (N, 3) in [0, 1].
-    Returns (indices (N, L, 8) int32 into the concatenated table,
-             weights (N, L, 8) float32).
+    pos01: (N, 3), clipped to [0, 1] internally.
+    Returns (cell (N, L, 3) uint32, frac (N, L, 3) f32,
+             (wx, wy, wz) per-axis (N, L, 2) weight pairs).
     """
-    res, sizes, offsets, dense = _level_constants(cfg)
-    n_levels = cfg.n_levels
-
+    res, _, _, _ = _level_constants(cfg)
     pos01 = jnp.clip(pos01, 0.0, 1.0)
     # (N, L, 3): position scaled into each level's grid.
     scaled = pos01[:, None, :] * res[None, :, None].astype(pos01.dtype)
@@ -114,17 +113,32 @@ def hash_corner_indices(pos01: jax.Array, cfg: HashEncodingConfig) -> Tuple[jax.
     frac = (scaled - cell).astype(jnp.float32)
     cell = cell.astype(jnp.uint32)  # (N, L, 3)
 
-    # Build the 8 corners from per-axis factors — never materializes an
-    # (N, L, 8, 3) tensor (HBM matters at 2M-point batches). Corner order:
-    # index = 4*ix + 2*iy + iz.
-    n = pos01.shape[0]
-    c0 = cell  # (N, L, 3)
-    c1 = cell + 1
-
-    # Trilerp weights as an outer product of per-axis (1-f, f) pairs.
+    # Per-axis (1-f, f) pairs; the trilerp weight of corner (ix, iy, iz) is
+    # wx[ix] * wy[iy] * wz[iz] with corner order index = 4*ix + 2*iy + iz.
     wx = jnp.stack([1.0 - frac[..., 0], frac[..., 0]], axis=-1)  # (N, L, 2)
     wy = jnp.stack([1.0 - frac[..., 1], frac[..., 1]], axis=-1)
     wz = jnp.stack([1.0 - frac[..., 2], frac[..., 2]], axis=-1)
+    return cell, frac, (wx, wy, wz)
+
+
+def hash_corner_indices(pos01: jax.Array, cfg: HashEncodingConfig) -> Tuple[jax.Array, jax.Array]:
+    """Corner indices and trilerp weights for all levels.
+
+    pos01: (N, 3) in [0, 1].
+    Returns (indices (N, L, 8) int32 into the concatenated table,
+             weights (N, L, 8) float32).
+    """
+    res, sizes, offsets, dense = _level_constants(cfg)
+    n_levels = cfg.n_levels
+    n = pos01.shape[0]
+
+    cell, _, (wx, wy, wz) = _corner_geometry(pos01, cfg)
+    c0 = cell  # (N, L, 3)
+    c1 = cell + 1
+
+    # Trilerp weights as an outer product of per-axis (1-f, f) pairs —
+    # never materializes an (N, L, 8, 3) corner tensor (HBM matters at
+    # 2M-point batches).
     w = (
         wx[..., :, None, None] * wy[..., None, :, None] * wz[..., None, None, :]
     ).reshape(n, n_levels, 8)
@@ -156,10 +170,128 @@ def hash_corner_indices(pos01: jax.Array, cfg: HashEncodingConfig) -> Tuple[jax.
 def hash_encode(table: jax.Array, pos01: jax.Array, cfg: HashEncodingConfig) -> jax.Array:
     """Encode (N, 3) positions -> (N, L*F) features (pure XLA path).
 
-    This is the correctness oracle for the Pallas kernel and the fallback
-    on CPU. One gather of shape (N, L, 8, F) + weighted sum.
+    This is the correctness oracle for the fast paths and the fallback on
+    CPU. One gather of shape (N, L, 8, F) + weighted sum.
     """
     idx, w = hash_corner_indices(pos01, cfg)
     feats = jnp.take(table, idx, axis=0)  # (N, L, 8, F)
     out = (feats * w[..., None].astype(feats.dtype)).sum(axis=2)  # (N, L, F)
     return out.reshape(pos01.shape[0], cfg.output_dim)
+
+
+# ---------------------------------------------------------------------------
+# Training fast path: custom VJP with saved corner features
+# ---------------------------------------------------------------------------
+#
+# Autodiff of ``hash_encode`` under ``jax.checkpoint`` costs THREE random
+# HBM passes over the table per training step (forward gather, remat
+# re-gather, backward scatter-add) — and random gathers are the dominant
+# HBM traffic of the whole mapping iteration (each 8-byte corner entry
+# costs a full padded lane-row read). tiny-cuda-nn avoids this by fusing
+# the whole encode+MLP fwd/bwd into one CUDA kernel (reference
+# src/models/nerf_tcnn.py:35-52). The TPU-native equivalent here:
+#
+#   * forward gathers once, optionally in bfloat16 (halves gather bytes),
+#     and SAVES the gathered corner features packed as (N, L*8*F) — a
+#     sequential, unpadded write that is ~60x cheaper than re-gathering
+#   * backward recomputes indices/weights from positions (pure VPU
+#     arithmetic, no HBM traffic), reads the saved features sequentially,
+#     and does exactly ONE random pass: the scatter-add of table grads,
+#     accumulated in float32 regardless of compute dtype
+#   * position gradients (pose optimization flows through the trilerp
+#     weights) use the closed form dL/dfrac_x = sum_{iy,iz}
+#     (s[1,iy,iz] - s[0,iy,iz]) * wy[iy] * wz[iz] with
+#     s_k = <feats_k, dL/dout> — no autodiff graph at all.
+#
+# Net: 2 random passes instead of 3, each optionally half-width.
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def hash_encode_vjp(
+    table: jax.Array,
+    pos01: jax.Array,
+    cfg: HashEncodingConfig,
+    compute_dtype=jnp.bfloat16,
+    residual_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Training encode: same semantics as ``hash_encode`` (features cast to
+    ``compute_dtype`` before the trilerp), hand-written VJP."""
+    out, _ = _hash_encode_vjp_fwd(table, pos01, cfg, compute_dtype, residual_dtype)
+    return out
+
+
+def _hash_encode_vjp_fwd(table, pos01, cfg, compute_dtype, residual_dtype):
+    n = pos01.shape[0]
+    l8 = cfg.n_levels * 8
+    idx, w = hash_corner_indices(pos01, cfg)
+    tq = table.astype(compute_dtype) if table.dtype != compute_dtype else table
+    feats = jnp.take(tq, idx.reshape(n, l8), axis=0)  # (N, L8, F)
+    wf = w.reshape(n, l8, 1).astype(feats.dtype)
+    out = (
+        (feats * wf)
+        .reshape(n, cfg.n_levels, 8, cfg.n_features_per_level)
+        .sum(axis=2)
+        .reshape(n, cfg.output_dim)
+        .astype(jnp.float32)
+    )
+    # Packed (N, L*8*F) residual: minor dim 128*F — no tile padding.
+    # Saving ``table`` itself is free (no copy — it is live anyway) and
+    # carries its shape/dtype into the backward pass.
+    res_feats = feats.reshape(n, l8 * cfg.n_features_per_level).astype(residual_dtype)
+    return out, (table, pos01, res_feats)
+
+
+def _hash_encode_vjp_bwd(cfg, compute_dtype, residual_dtype, res, g):
+    table, pos01, res_feats = res
+    table_shape, table_dtype = table.shape, table.dtype
+    n = pos01.shape[0]
+    n_levels, f_dim = cfg.n_levels, cfg.n_features_per_level
+    res_arr, _, _, _ = _level_constants(cfg)
+
+    idx, w = hash_corner_indices(pos01, cfg)  # recomputed: VPU-only
+    gl = g.reshape(n, n_levels, 1, f_dim).astype(jnp.float32)
+
+    # Table gradient: one scatter-add, float32 accumulation.
+    upd = (w[..., None] * gl).reshape(-1, f_dim)  # (N*L*8, F)
+    dtable = (
+        jnp.zeros(table_shape, jnp.float32)
+        .at[idx.reshape(-1)]
+        .add(upd)
+        .astype(table_dtype)
+    )
+
+    # Position gradient through the trilerp weights.
+    feats = res_feats.reshape(n, n_levels, 8, f_dim).astype(jnp.float32)
+    s = (feats * gl).sum(-1).reshape(n, n_levels, 2, 2, 2)  # corner scalars
+    _, _, (wx, wy, wz) = _corner_geometry(pos01, cfg)
+    wyz = wy[..., :, None] * wz[..., None, :]  # (N, L, 2, 2)
+    wxz = wx[..., :, None] * wz[..., None, :]
+    wxy = wx[..., :, None] * wy[..., None, :]
+    dfx = ((s[:, :, 1] - s[:, :, 0]) * wyz).sum((-2, -1))  # (N, L)
+    dfy = ((s[:, :, :, 1] - s[:, :, :, 0]) * wxz).sum((-2, -1))
+    dfz = ((s[..., 1] - s[..., 0]) * wxy).sum((-2, -1))
+    dfrac = jnp.stack([dfx, dfy, dfz], axis=-1)  # (N, L, 3)
+    # d scaled / d pos01 = res_l; zero where the input clip was active.
+    dpos01 = (dfrac * res_arr[None, :, None].astype(jnp.float32)).sum(axis=1)
+    # Clip subgradient convention: full weight strictly inside [0, 1],
+    # half at an exact boundary (matches jnp.clip autodiff at ties), zero
+    # outside.
+    clip_w = (
+        ((pos01 > 0.0) & (pos01 < 1.0)).astype(jnp.float32)
+        + 0.5 * ((pos01 == 0.0) | (pos01 == 1.0)).astype(jnp.float32)
+    )
+    dpos01 = (dpos01 * clip_w).astype(pos01.dtype)
+    return dtable, dpos01
+
+
+hash_encode_vjp.defvjp(_hash_encode_vjp_fwd, _hash_encode_vjp_bwd)
+
+
+def hash_encode_train(compute_dtype=jnp.bfloat16, residual_dtype=jnp.bfloat16):
+    """An ``encode_fn`` (table, pos01, cfg) -> (N, L*F) for the training
+    path: the custom-VJP encode with the given compute/residual dtypes."""
+
+    def encode(table, pos01, cfg):
+        return hash_encode_vjp(table, pos01, cfg, compute_dtype, residual_dtype)
+
+    return encode

@@ -211,6 +211,7 @@ def render_rays(
     ret_var: bool = False,
     encode_fn=None,
     point_chunk: int = 131072,
+    remat_blocks: bool = True,
 ) -> Dict[str, jax.Array]:
     """Render a batch of rays (reference rendering_tcnn.py:192-267).
 
@@ -235,12 +236,16 @@ def render_rays(
     # Block the field evaluation: the hash encoding materializes (B, L, 8)
     # index/weight tensors, which at the full 2M-point training batch would
     # blow past HBM. lax.map over fixed-size blocks bounds the live set to
-    # one block, and jax.checkpoint rematerializes the encoding in the
-    # backward pass instead of saving it (TPU-native equivalent of the
-    # reference's chunk/netchunk batching, model_tcnn.py:82-99 /
-    # rendering_tcnn.py:176-182 — trading FLOPs for HBM).
+    # one block; with remat_blocks, jax.checkpoint rematerializes the
+    # encoding in the backward pass instead of saving it (TPU-native
+    # equivalent of the reference's chunk/netchunk batching,
+    # model_tcnn.py:82-99 / rendering_tcnn.py:176-182 — trading FLOPs for
+    # HBM). Callers using the custom-VJP encode pass remat_blocks=False:
+    # its residuals are compact by construction, and rematerializing would
+    # re-run the expensive gather.
     block = point_chunk if point_chunk else n_pts
     use_blocks = n_pts > block and n_pts % block == 0
+    wrap = jax.checkpoint if remat_blocks else (lambda f: f)
 
     if sigma_only:
         def eval_pts(p):
@@ -251,7 +256,7 @@ def render_rays(
 
         if use_blocks:
             raw = jax.lax.map(
-                jax.checkpoint(eval_pts), flat_pts.reshape(-1, block, 3)
+                wrap(eval_pts), flat_pts.reshape(-1, block, 3)
             ).reshape(n_pts, -1)
         else:
             raw = eval_pts(flat_pts)
@@ -267,7 +272,7 @@ def render_rays(
 
         if use_blocks:
             raw = jax.lax.map(
-                jax.checkpoint(eval_pts_dirs),
+                wrap(eval_pts_dirs),
                 (flat_pts.reshape(-1, block, 3), flat_dirs.reshape(-1, block, 3)),
             ).reshape(n_pts, -1)
         else:
