@@ -26,8 +26,7 @@ from loner_tpu.analysis.render_utils import (
 from loner_tpu.analysis.renderer_lidar import build_lidar_ray_directions
 from loner_tpu.mapping.rays import get_far_val
 from loner_tpu.models.rendering import (
-    OccGridRaySampler,
-    UniformRaySampler,
+    make_sampler,
     pack_rays,
     render_rays,
 )
@@ -59,7 +58,7 @@ def build_weight_grid(
     chunk: int = 8192,
 ) -> np.ndarray:
     cube = model.world_cube
-    sampler = OccGridRaySampler() if model.occ_grid is not None else UniformRaySampler()
+    sampler = make_sampler(model.occ_grid)
     dirs_sensor = build_lidar_ray_directions(num_channels, num_columns)
     grid = jnp.zeros((resolution,) * 3, jnp.float32)
 

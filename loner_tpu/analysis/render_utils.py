@@ -22,8 +22,7 @@ from loner_tpu.common.world_cube import WorldCube
 from loner_tpu.mapping.rays import get_far_val
 from loner_tpu.models.field import FieldConfig
 from loner_tpu.models.rendering import (
-    OccGridRaySampler,
-    UniformRaySampler,
+    make_sampler,
     pack_rays,
     render_rays,
 )
@@ -55,7 +54,7 @@ def load_experiment(log_dir: str, ckpt_name: str = "final.tar") -> LoadedModel:
     params = jax.tree.map(jnp.asarray, ckpt["network_state_dict"])
     occ = ckpt.get("occ_model_state_dict")
     if occ is not None:
-        occ = jnp.asarray(occ)
+        occ = jax.tree.map(jnp.asarray, occ)  # grid array or proposal pytree
     return LoadedModel(
         field_params=params,
         field_cfg=field_cfg,
@@ -94,9 +93,7 @@ def render_depth_chunked(
     """
     cube = model.world_cube
     n = origins_world.shape[0]
-    sampler = (
-        OccGridRaySampler() if (use_occ and model.occ_grid is not None) else UniformRaySampler()
-    )
+    sampler = make_sampler(model.occ_grid if use_occ else None)
 
     depths, variances, opacities = [], [], []
     for i in range(0, n, chunk):

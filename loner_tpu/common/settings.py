@@ -65,6 +65,8 @@ class Settings(dict):
         for path, value in generate_change_list(changes):
             node = self
             for attr in path[:-1]:
+                if attr not in node:
+                    node[attr] = {}  # overlays may introduce new sections
                 node = node[attr]
             node[path[-1]] = value
         return self

@@ -171,8 +171,11 @@ class Mapper:
             "poses": self._keyframe_manager.get_poses_state(),
             "world_cube": self._world_cube.as_dict(),
         }
-        if opt._cfg.samples_strategy == "OGM":
-            ckpt["occ_model_state_dict"] = np.asarray(opt.state.occ_grid)
+        if opt._cfg.samples_strategy in ("OGM", "PROPOSAL"):
+            # Either the dense logit grid (OGM) or the proposal-MLP
+            # parameter pytree (PROPOSAL) — consumers pick the sampler by
+            # the state's structure (models/rendering.py::make_sampler).
+            ckpt["occ_model_state_dict"] = jax_tree_to_numpy(opt.state.occ_grid)
         return ckpt
 
     def finish(self) -> None:

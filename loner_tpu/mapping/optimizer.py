@@ -23,7 +23,7 @@ anchoring, and latest-kf-only semantics are preserved.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, replace
+from dataclasses import dataclass, field as dc_field, replace
 from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -37,7 +37,16 @@ from loner_tpu.mapping.rays import WindowBuffers, build_window_buffers, sample_a
 from loner_tpu.models.field import FieldConfig, init_field_params
 from loner_tpu.models.occupancy_grid import init_occ_grid, occ_grid_update
 from loner_tpu.models.losses import get_logits_grad
-from loner_tpu.models.rendering import OccGridRaySampler, UniformRaySampler
+from loner_tpu.models.proposal import (
+    ProposalConfig,
+    init_proposal_params,
+    proposal_logits,
+)
+from loner_tpu.models.rendering import (
+    OccGridRaySampler,
+    ProposalRaySampler,
+    UniformRaySampler,
+)
 
 
 @dataclass(frozen=True)
@@ -73,11 +82,15 @@ class OptimizerConfig:
     lr_sigma: float = 0.01
     lr_pose: float = 0.001
     lr_gamma: float = 1.0
-    samples_strategy: str = "OGM"  # or UNIFORM
+    # OGM = reference-parity occupancy voxel grid; PROPOSAL = TPU-native
+    # proposal-MLP occupancy field (models/proposal.py); UNIFORM = none.
+    samples_strategy: str = "OGM"
     rays_strategy: str = "RANDOM"  # or FIXED
     occ_voxel_size: int = 100
     occ_lr: float = 1e-4
     occ_update_every: int = 10
+    prop_lr: float = 1e-3  # proposal-MLP Adam rate (PROPOSAL strategy)
+    proposal: ProposalConfig = dc_field(default_factory=ProposalConfig)
     ray_range: Tuple[float, float] = (1.0, 10.0)
     window_size: int = 8
     enable_sky: bool = False
@@ -98,6 +111,7 @@ class OptimizerConfig:
         render = model_cfg.model.render
         occ = model_cfg.model.occ_model
         train = model_cfg.train
+        occ_d = dict(occ)
         return OptimizerConfig(
             n_lidar_samples=int(opt_settings.num_samples.lidar),
             n_sky_samples=int(opt_settings.num_samples.sky),
@@ -112,7 +126,11 @@ class OptimizerConfig:
             occ_voxel_size=int(occ.voxel_size),
             occ_lr=float(occ.lr),
             occ_update_every=int(occ.N_iters_acc),
+            prop_lr=float(occ_d.get("prop_lr", 1e-3)),
+            proposal=ProposalConfig.from_settings(occ_d.get("proposal", {})),
             ray_range=tuple(float(x) for x in model_cfg.model.ray_range),
+            encode_impl=str(dict(train).get("encode_impl", "vjp_bf16")),
+            steps_per_dispatch=int(dict(train).get("steps_per_dispatch", 10)),
             loss=LossConfig.from_settings(model_cfg.loss),
         )
 
@@ -157,7 +175,13 @@ def make_phase_runner(
     optimizer state, occupancy grid (in-place HBM updates).
     """
     use_occ = cfg.samples_strategy == "OGM"
-    sampler = OccGridRaySampler() if use_occ else UniformRaySampler()
+    use_prop = cfg.samples_strategy == "PROPOSAL"
+    if use_occ:
+        sampler = OccGridRaySampler()
+    elif use_prop:
+        sampler = ProposalRaySampler()
+    else:
+        sampler = UniformRaySampler()
     n_sky = cfg.n_sky_samples if cfg.enable_sky else 0
     optimize_poses = not phase.freeze_poses
     optimize_sigma = not phase.freeze_sigma_mlp
@@ -174,16 +198,23 @@ def make_phase_runner(
         encode_fn = hash_encode_train(compute_dtype=dt, residual_dtype=dt)
         remat_blocks = False
 
-    tx = optax.multi_transform(
-        {
-            "sigma": _adam_with_schedule(cfg.lr_sigma, cfg.lr_gamma),
-            "twists": _adam_with_schedule(cfg.lr_pose, cfg.lr_gamma),
-        },
-        param_labels=lambda tree: {
+    transforms = {
+        "sigma": _adam_with_schedule(cfg.lr_sigma, cfg.lr_gamma),
+        "twists": _adam_with_schedule(cfg.lr_pose, cfg.lr_gamma),
+    }
+    if use_prop:
+        transforms["proposal"] = optax.adam(cfg.prop_lr)
+
+    def _labels(tree):
+        lab = {
             "sigma": jax.tree.map(lambda _: "sigma", tree["sigma"]),
             "twists": "twists",
-        },
-    )
+        }
+        if "proposal" in tree:
+            lab["proposal"] = jax.tree.map(lambda _: "proposal", tree["proposal"])
+        return lab
+
+    tx = optax.multi_transform(transforms, param_labels=_labels)
 
     def loss_fn(opt_params, static_intensity, occ_grid, buffers, world_scale,
                 world_shift, key, it_idx, global_step):
@@ -203,7 +234,13 @@ def make_phase_runner(
             n_sky,
             fixed_indices=(cfg.rays_strategy == "FIXED"),
         )
-        return compute_lidar_loss(
+        if use_occ:
+            sampler_state = occ_grid
+        elif use_prop:
+            sampler_state = opt_params["proposal"]
+        else:
+            sampler_state = None
+        loss, aux = compute_lidar_loss(
             k_render,
             rays,
             depths_cube,
@@ -211,7 +248,7 @@ def make_phase_runner(
             field_params,
             field_cfg,
             sampler,
-            occ_grid if use_occ else None,
+            sampler_state,
             cfg.loss,
             world_scale,
             cfg.n_samples_per_ray,
@@ -223,6 +260,22 @@ def make_phase_runner(
             point_chunk=cfg.point_chunk,
             remat_blocks=remat_blocks,
         )
+        if use_prop:
+            # Proposal-MLP training: the reference pushes point logits
+            # toward the +/-1 occupancy margin targets with an explicit
+            # gradient (optimizer.py:598-609, losses.py:54-62). The linear
+            # loss mean(stop_grad(logits_grad) * logits) reproduces that
+            # update direction through autodiff; it is zero-gradient for
+            # sigma/twists by construction.
+            logits_grad = get_logits_grad(aux["z_m"], aux["depths_gt_m"][:, None])
+            logits_grad = logits_grad * aux["valid"][:, None]
+            logits = proposal_logits(
+                opt_params["proposal"],
+                jax.lax.stop_gradient(aux["points"]),
+            )
+            prop_loss = jnp.mean(jax.lax.stop_gradient(logits_grad) * logits)
+            loss = loss + prop_loss
+        return loss, aux
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -252,7 +305,10 @@ def make_phase_runner(
         g_sigma = grads["sigma"]
         if not optimize_sigma:
             g_sigma = jax.tree.map(jnp.zeros_like, g_sigma)
-        grads = {"sigma": g_sigma, "twists": g_twists}
+        masked = {"sigma": g_sigma, "twists": g_twists}
+        if "proposal" in grads:
+            masked["proposal"] = grads["proposal"]
+        grads = masked
 
         updates, opt_state = tx.update(grads, opt_state, opt_params)
         opt_params = optax.apply_updates(opt_params, updates)
@@ -269,7 +325,9 @@ def make_phase_runner(
                 global_step % cfg.occ_update_every == 0, do_occ, lambda og: og, occ_grid
             )
 
-        return opt_params, opt_state, occ_grid, loss, aux["depth_eps"]
+        # Report the mapping loss (aux["loss"]), not the total that may
+        # include the proposal-training term.
+        return opt_params, opt_state, occ_grid, aux["loss"], aux["depth_eps"]
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(opt_params, opt_state, occ_grid, static_intensity, buffers,
@@ -317,6 +375,11 @@ def make_phase_runner(
     ):
         n_iters = phase.num_iterations if num_iterations is None else num_iterations
         opt_params = {"sigma": field_params["sigma"], "twists": twists}
+        if use_prop:
+            # The proposal pytree travels in the occupancy slot between
+            # phases/checkpoints but is a trained parameter inside one.
+            opt_params["proposal"] = occ_grid
+            occ_grid = None
         opt_state = tx.init(opt_params)
         static_intensity = field_params["intensity"]
         step0 = int(global_step0)
@@ -346,9 +409,10 @@ def make_phase_runner(
             i += 1
 
         new_field = {"sigma": opt_params["sigma"], "intensity": static_intensity}
+        sampler_state = opt_params["proposal"] if use_prop else occ_grid
         return (
             new_field,
-            occ_grid,
+            sampler_state,
             opt_params["twists"],
             jnp.concatenate(losses) if losses else jnp.zeros((0,), jnp.float32),
             jnp.concatenate(eps_log) if eps_log else jnp.zeros((0,), jnp.float32),
@@ -399,12 +463,16 @@ class Optimizer:
         self._write_ray_point_clouds = write_ray_point_clouds
 
         key = jax.random.key(seed)
-        k_field, self._key = jax.random.split(key)
+        k_field, k_prop, self._key = jax.random.split(key, 3)
+        if cfg.samples_strategy == "OGM":
+            sampler_state = init_occ_grid(cfg.occ_voxel_size)
+        elif cfg.samples_strategy == "PROPOSAL":
+            sampler_state = init_proposal_params(k_prop, cfg.proposal)
+        else:
+            sampler_state = jnp.zeros((1, 1, 1), jnp.float32)
         self.state = MapState(
             field_params=init_field_params(k_field, field_cfg),
-            occ_grid=init_occ_grid(cfg.occ_voxel_size)
-            if cfg.samples_strategy == "OGM"
-            else jnp.zeros((1, 1, 1), jnp.float32),
+            occ_grid=sampler_state,
         )
         self._keyframe_count = 0
         self._runner_cache: Dict[tuple, Any] = {}

@@ -42,11 +42,66 @@ class MLPConfig:
 
 
 @dataclass(frozen=True)
+class FourierConfig:
+    """Gaussian random-Fourier-feature positional encoding (flagship
+    TPU-native path).
+
+    On this TPU toolchain, per-sample random table access (the hash-grid
+    gather and especially its backward scatter-add) lowers to serialized
+    loops ~2-3 orders of magnitude off the HBM/MXU roofline, while dense
+    matmuls run at full speed (measured: 16.8M-element scatter-add =
+    1.05 s, a 1.2-TFLOP fused MLP fwd+bwd at 2.1M points = 64 ms). The
+    TPU-first scene representation is therefore an MXU-dense field:
+    fixed Gaussian Fourier features (Tancik et al. 2020) feeding a wider
+    MLP, replacing tiny-cuda-nn's HashGrid+tiny-MLP (reference
+    src/models/nerf_tcnn.py:35-52) at equal capability. The feature
+    matrix is derived from a fixed seed (not trained, not checkpointed).
+    """
+
+    n_freqs: int = 64
+    scale: float = 6.0
+    include_input: bool = True
+    seed: int = 1234
+
+    @property
+    def output_dim(self) -> int:
+        return 2 * self.n_freqs + (3 if self.include_input else 0)
+
+    @staticmethod
+    def from_settings(cfg: dict) -> "FourierConfig":
+        return FourierConfig(
+            n_freqs=int(cfg.get("n_freqs", 64)),
+            scale=float(cfg.get("scale", 6.0)),
+            include_input=bool(cfg.get("include_input", True)),
+            seed=int(cfg.get("seed", 1234)),
+        )
+
+
+def fourier_encode(pos01: jax.Array, cfg: FourierConfig) -> jax.Array:
+    """(N, 3) in [0, 1] -> (N, 2F [+3]) features. The projection matrix is
+    a deterministic function of cfg.seed; XLA folds it to a constant."""
+    bmat = (
+        jax.random.normal(jax.random.key(cfg.seed), (3, cfg.n_freqs), jnp.float32)
+        * cfg.scale
+        * (2.0 * jnp.pi)
+    )
+    proj = pos01 @ bmat
+    feats = [jnp.sin(proj), jnp.cos(proj)]
+    if cfg.include_input:
+        feats.append(pos01)
+    return jnp.concatenate(feats, axis=-1)
+
+
+@dataclass(frozen=True)
 class FieldConfig:
     num_colors: int = 3
     enable_view_dependence: bool = True
     sh_degree: int = 4
+    # "hash" = Instant-NGP hash grid (reference-parity path);
+    # "fourier" = Gaussian RFF + wide MLP (TPU-native flagship path).
+    encoding_sigma: str = "hash"
     pos_encoding_sigma: HashEncodingConfig = dc_field(default_factory=HashEncodingConfig)
+    fourier_sigma: FourierConfig = dc_field(default_factory=FourierConfig)
     pos_encoding_intensity: HashEncodingConfig = dc_field(
         default_factory=lambda: HashEncodingConfig(log2_hashmap_size=19)
     )
@@ -54,25 +109,51 @@ class FieldConfig:
     intensity_mlp: MLPConfig = dc_field(
         default_factory=lambda: MLPConfig(n_hidden_layers=4, output_dim=3)
     )
+    # Density activation inside alpha compositing. "relu" matches the
+    # reference (rendering_tcnn.py:96); the global-support fourier field
+    # needs "softplus" — with ReLU a transiently all-negative sigma field
+    # has zero gradient everywhere and training dies (hash features are
+    # local, so the reference never hits this).
+    density_activation: str = "relu"
+    # Bias terms in the sigma MLP (tcnn's FullyFusedMLP is bias-free; the
+    # fourier MLP benefits from them).
+    sigma_mlp_bias: bool = False
     compute_dtype: Any = jnp.float32
+
+    @property
+    def sigma_input_dim(self) -> int:
+        if self.encoding_sigma == "fourier":
+            return self.fourier_sigma.output_dim
+        return self.pos_encoding_sigma.output_dim
 
     @staticmethod
     def from_settings(nerf_cfg: dict, num_colors: int = 3, compute_dtype=jnp.float32) -> "FieldConfig":
         """Build from the reference-format nerf config yaml
-        (cfg/nerf_config/default_nerf_hash.yaml)."""
+        (cfg/nerf_config/default_nerf_hash.yaml; the TPU-native variant
+        adds ``encoding_sigma: fourier`` + a ``fourier_sigma`` section)."""
+        encoding = str(nerf_cfg.get("encoding_sigma", "hash"))
+        sigma_net = nerf_cfg["sigma_network"]
+        if "compute_dtype" in nerf_cfg:
+            compute_dtype = (
+                jnp.bfloat16 if "bf" in str(nerf_cfg["compute_dtype"]) else jnp.float32
+            )
         return FieldConfig(
             num_colors=num_colors,
             enable_view_dependence=bool(nerf_cfg.get("enable_view_dependence", True)),
             sh_degree=int(nerf_cfg.get("dir_encoding_intensity", {}).get("degree", 4)),
+            encoding_sigma=encoding,
             pos_encoding_sigma=HashEncodingConfig.from_settings(
-                nerf_cfg["pos_encoding_sigma"]
+                nerf_cfg.get("pos_encoding_sigma", {})
+            ),
+            fourier_sigma=FourierConfig.from_settings(
+                nerf_cfg.get("fourier_sigma", {})
             ),
             pos_encoding_intensity=HashEncodingConfig.from_settings(
                 nerf_cfg["pos_encoding_intensity"]
             ),
             sigma_mlp=MLPConfig(
-                n_neurons=int(nerf_cfg["sigma_network"]["n_neurons"]),
-                n_hidden_layers=int(nerf_cfg["sigma_network"]["n_hidden_layers"]),
+                n_neurons=int(sigma_net["n_neurons"]),
+                n_hidden_layers=int(sigma_net["n_hidden_layers"]),
                 output_dim=1,
             ),
             intensity_mlp=MLPConfig(
@@ -80,12 +161,24 @@ class FieldConfig:
                 n_hidden_layers=int(nerf_cfg["intensity_network"]["n_hidden_layers"]),
                 output_dim=num_colors,
             ),
+            density_activation=str(
+                nerf_cfg.get(
+                    "density_activation",
+                    "softplus" if encoding == "fourier" else "relu",
+                )
+            ),
+            sigma_mlp_bias=bool(
+                nerf_cfg.get("sigma_mlp_bias", encoding == "fourier")
+            ),
             compute_dtype=compute_dtype,
         )
 
 
-def _init_mlp(key: jax.Array, in_dim: int, cfg: MLPConfig) -> Dict[str, jax.Array]:
-    """Bias-free MLP weights, He-uniform (matches tcnn's default init)."""
+def _init_mlp(
+    key: jax.Array, in_dim: int, cfg: MLPConfig, bias: bool = False
+) -> Dict[str, jax.Array]:
+    """MLP weights, He-uniform (matches tcnn's default init); optional
+    zero-initialized biases."""
     dims = [in_dim] + [cfg.n_neurons] * cfg.n_hidden_layers + [cfg.output_dim]
     params = {}
     for i, (d_in, d_out) in enumerate(zip(dims[:-1], dims[1:])):
@@ -94,16 +187,20 @@ def _init_mlp(key: jax.Array, in_dim: int, cfg: MLPConfig) -> Dict[str, jax.Arra
         params[f"w{i}"] = jax.random.uniform(
             sub, (d_in, d_out), minval=-bound, maxval=bound, dtype=jnp.float32
         )
+        if bias:
+            params[f"b{i}"] = jnp.zeros((d_out,), jnp.float32)
     return params
 
 
 def _apply_mlp(params: Dict[str, jax.Array], x: jax.Array, dtype) -> jax.Array:
-    """ReLU MLP, bias-free; matmuls in ``dtype``, f32 accumulation."""
-    n = len(params)
+    """ReLU MLP; matmuls in ``dtype``, f32 accumulation."""
+    n = sum(1 for k in params if k.startswith("w"))
     h = x.astype(dtype)
     for i in range(n):
         w = params[f"w{i}"].astype(dtype)
         h = jnp.dot(h, w, preferred_element_type=jnp.float32)
+        if f"b{i}" in params:
+            h = h + params[f"b{i}"]
         if i < n - 1:
             h = jax.nn.relu(h).astype(dtype)
     return h  # f32 (from preferred_element_type)
@@ -111,20 +208,29 @@ def _apply_mlp(params: Dict[str, jax.Array], x: jax.Array, dtype) -> jax.Array:
 
 def init_field_params(key: jax.Array, cfg: FieldConfig) -> Dict[str, Any]:
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    sigma_in = cfg.pos_encoding_sigma.output_dim
+    sigma_in = cfg.sigma_input_dim
     intensity_in = cfg.pos_encoding_intensity.output_dim + (
         cfg.sh_degree ** 2 if cfg.enable_view_dependence else 0
     )
+    sigma_params: Dict[str, Any] = {
+        "mlp": _init_mlp(k2, sigma_in, cfg.sigma_mlp, bias=cfg.sigma_mlp_bias)
+    }
+    if cfg.encoding_sigma != "fourier":
+        sigma_params["table"] = init_hash_table(k1, cfg.pos_encoding_sigma)
     return {
-        "sigma": {
-            "table": init_hash_table(k1, cfg.pos_encoding_sigma),
-            "mlp": _init_mlp(k2, sigma_in, cfg.sigma_mlp),
-        },
+        "sigma": sigma_params,
         "intensity": {
             "table": init_hash_table(k3, cfg.pos_encoding_intensity),
             "mlp": _init_mlp(k4, intensity_in, cfg.intensity_mlp),
         },
     }
+
+
+def _encode_sigma(sigma_params, pos01, cfg: FieldConfig, encode_fn=None) -> jax.Array:
+    if cfg.encoding_sigma == "fourier":
+        return fourier_encode(pos01, cfg.fourier_sigma)
+    encode = encode_fn or hash_encode
+    return encode(sigma_params["table"], pos01, cfg.pos_encoding_sigma)
 
 
 def query_sigma(
@@ -135,12 +241,11 @@ def query_sigma(
 ) -> jax.Array:
     """Density head. pos: (N, 3) in [-1, 1]. Returns (N, 1) raw sigma.
 
-    ``encode_fn`` lets callers swap in the Pallas fused kernel; default is
-    the pure-XLA gather path.
+    ``encode_fn`` lets callers swap in a custom hash-encode implementation
+    (e.g. the custom-VJP training path); default is the pure-XLA gather.
     """
-    encode = encode_fn or hash_encode
     pos01 = (pos + 1.0) * 0.5
-    feats = encode(params["sigma"]["table"], pos01, cfg.pos_encoding_sigma)
+    feats = _encode_sigma(params["sigma"], pos01, cfg, encode_fn)
     return _apply_mlp(params["sigma"]["mlp"], feats, cfg.compute_dtype)
 
 
@@ -163,9 +268,8 @@ def query_field(
     sigma_params = params["sigma"]
     if detach_sigma and not sigma_only:
         sigma_params = jax.lax.stop_gradient(sigma_params)
-    encode = encode_fn or hash_encode
     pos01 = (pos + 1.0) * 0.5
-    feats = encode(sigma_params["table"], pos01, cfg.pos_encoding_sigma)
+    feats = _encode_sigma(sigma_params, pos01, cfg, encode_fn)
     sigma = _apply_mlp(sigma_params["mlp"], feats, cfg.compute_dtype)
     finfo = jnp.finfo(cfg.compute_dtype)
     sigma = jnp.nan_to_num(sigma, posinf=finfo.max, neginf=finfo.min)
@@ -174,7 +278,7 @@ def query_field(
         return sigma
 
     dirs01 = (dirs + 1.0) * 0.5
-    h_x = encode(
+    h_x = (encode_fn or hash_encode)(
         params["intensity"]["table"], pos01, cfg.pos_encoding_intensity
     )
     if cfg.enable_view_dependence:

@@ -55,7 +55,13 @@ def sample_pdf(
     else:
         u = jax.random.uniform(key, (n_rays, n_importance), dtype=cdf.dtype)
 
-    inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cdf, u)
+    # Branchless searchsorted(side="right"): count of cdf entries <= u.
+    # A (B, Q, B+1) comparison + reduction fuses into dense VPU tiles;
+    # the vmapped binary search it replaces lowers to a serial gather
+    # loop on TPU.
+    inds = jnp.sum(
+        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
+    )
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, n_bins)
 
@@ -165,6 +171,26 @@ class UniformRaySampler:
         return stratified_z_vals(key, near, far, n_samples, perturb)
 
 
+def _occupancy_importance_samples(key, rays, n_samples, perturb, logits_fn):
+    """Shared half-uniform + half-importance sampling given an occupancy
+    log-odds field (reference ray_sampling.py:46-92)."""
+    k_uniform, k_pdf = (None, None) if key is None else jax.random.split(key)
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 9:10], rays[:, 10:11]
+    n_half = n_samples // 2
+    z_vals = stratified_z_vals(k_uniform, near, far, n_half, perturb)
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    logits = logits_fn(pts)
+    probs = jax.nn.sigmoid(logits)
+    probs = 2.0 * (jnp.clip(probs, 0.5, 1.0) - 0.5)
+
+    z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+    z_imp = sample_pdf(k_pdf, z_mid, probs[:, 1:-1], n_half, det=(key is None))
+    z_imp = jax.lax.stop_gradient(z_imp)
+    return jnp.sort(jnp.concatenate([z_vals, z_imp], axis=-1), axis=-1)
+
+
 class OccGridRaySampler:
     """Half uniform + half occupancy-importance samples, merged and sorted
     (reference ray_sampling.py:46-92). The occupancy grid logits are passed
@@ -176,23 +202,43 @@ class OccGridRaySampler:
         if occ_grid is None:
             return UniformRaySampler().get_samples(key, rays, n_samples, perturb)
 
-        k_uniform, k_pdf = (None, None) if key is None else jax.random.split(key)
-        rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
-        near, far = rays[:, 9:10], rays[:, 10:11]
-        n_half = n_samples // 2
-        z_vals = stratified_z_vals(k_uniform, near, far, n_half, perturb)
-
-        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        logits = interpolate_occ_logits(occ_grid, pts)
-        probs = jax.nn.sigmoid(logits)
-        probs = 2.0 * (jnp.clip(probs, 0.5, 1.0) - 0.5)
-
-        z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
-        z_imp = sample_pdf(
-            k_pdf, z_mid, probs[:, 1:-1], n_half, det=(key is None)
+        return _occupancy_importance_samples(
+            key, rays, n_samples, perturb,
+            lambda pts: interpolate_occ_logits(occ_grid, pts),
         )
-        z_imp = jax.lax.stop_gradient(z_imp)
-        return jnp.sort(jnp.concatenate([z_vals, z_imp], axis=-1), axis=-1)
+
+
+class ProposalRaySampler:
+    """TPU-native occupancy sampler: identical sampling math to
+    OccGridRaySampler but the log-odds field is a small Fourier MLP
+    (models/proposal.py) instead of a voxel grid — dense matmuls rather
+    than per-sample grid gathers. The proposal parameter pytree is passed
+    through the same ``occ_grid`` slot."""
+
+    def get_samples(self, key, rays, n_samples, perturb, occ_grid=None):
+        from loner_tpu.models.proposal import proposal_logits
+
+        if occ_grid is None:
+            return UniformRaySampler().get_samples(key, rays, n_samples, perturb)
+
+        # Sampling guidance must not backprop into the proposal (it has
+        # its own training signal, mirroring the reference's detached
+        # occupancy update).
+        prop = jax.lax.stop_gradient(occ_grid)
+        return _occupancy_importance_samples(
+            key, rays, n_samples, perturb,
+            lambda pts: proposal_logits(prop, pts),
+        )
+
+
+def make_sampler(occ_state):
+    """Pick the sampler matching an occupancy-slot state: None -> uniform,
+    pytree (dict) -> proposal MLP, array -> occupancy grid."""
+    if occ_state is None:
+        return UniformRaySampler()
+    if isinstance(occ_state, dict):
+        return ProposalRaySampler()
+    return OccGridRaySampler()
 
 
 def render_rays(
@@ -288,6 +334,7 @@ def render_rays(
         white_bkgd=white_bkgd,
         sigma_only=sigma_only,
         num_colors=field_cfg.num_colors,
+        softplus=(getattr(field_cfg, "density_activation", "relu") == "softplus"),
         far=far,
         ret_var=ret_var,
     )
