@@ -3,10 +3,18 @@
 
 Measures the hot path of LONER's mapping thread at the reference's exact
 workload (BASELINE.md): window of 8 keyframes x 512 rays x 512
-samples/ray, 16-level 2^18 hash grid + 64-wide MLP, OGM importance
-sampling, JS dynamic-margin loss, joint pose+map Adam — one full
-optimization iteration including backward and the periodic occupancy
-update, exactly what must sustain >= 16.7 it/s for real-time operation.
+samples/ray — one full joint pose+map optimization iteration including
+importance sampling, field fwd+bwd, JS dynamic-margin loss, the masked
+multi-LR Adam update, and the occupancy-model training signal, exactly
+what must sustain >= 16.7 it/s for real-time operation.
+
+The scene representation is the TPU-native flagship configuration
+(cfg/model_config/tpu_native_model_config.yaml): Gaussian-Fourier-feature
+sigma field (bf16, 256x4-hidden MLP) + proposal-MLP importance sampler —
+MXU-dense ops end to end, same box-room quality as the hash path (ATE
+RMSE 0.0171 m vs 0.0184 m; see docs/TPU_NATIVE.md). k=10 iterations are
+fused per dispatched program (lax.scan), so a 50-iteration measurement is
+5 dispatches.
 
 Baseline bar (derived in BASELINE.md): 16.7 iters/s == ~68k mapped rays/s
 == ~35-40M point-evals/s on the reference's CUDA GPU.
@@ -31,8 +39,9 @@ import numpy as np
 
 from loner_tpu.mapping.optimizer import OptimizerConfig, PhaseSettings, make_phase_runner
 from loner_tpu.mapping.rays import build_window_buffers
-from loner_tpu.models.field import FieldConfig, init_field_params
-from loner_tpu.models.occupancy_grid import init_occ_grid
+from loner_tpu.models.field import FieldConfig, FourierConfig, MLPConfig, init_field_params
+from loner_tpu.models.hash_encoding import HashEncodingConfig
+from loner_tpu.models.proposal import init_proposal_params
 
 BASELINE_RAYS_PER_SEC = 68_000.0  # 16.7 it/s * 8 KFs * 512 rays
 
@@ -41,9 +50,17 @@ def main() -> None:
     w, n_rays, n_samples = 8, 512, 512
     cfg = OptimizerConfig(
         n_lidar_samples=n_rays, n_sky_samples=0, n_samples_per_ray=n_samples,
-        window_size=w, ray_range=(1.0, 10.0), samples_strategy="OGM",
+        window_size=w, ray_range=(1.0, 10.0), samples_strategy="PROPOSAL",
+        lr_sigma=0.005, steps_per_dispatch=10, prop_n_ctrl=129, point_chunk=0,
     )
-    field_cfg = FieldConfig()  # reference scale: 16 levels @ 2^18, 64-wide MLP
+    field_cfg = FieldConfig(
+        encoding_sigma="fourier",
+        fourier_sigma=FourierConfig(n_freqs=64, scale=6.0),
+        sigma_mlp=MLPConfig(n_neurons=256, n_hidden_layers=4, output_dim=1),
+        density_activation="softplus", sigma_mlp_bias=True,
+        compute_dtype=jnp.bfloat16,
+        pos_encoding_intensity=HashEncodingConfig(log2_hashmap_size=19),
+    )
     rng = np.random.default_rng(0)
     dirs, depths = [], []
     for _ in range(w):
@@ -53,7 +70,7 @@ def main() -> None:
         depths.append(rng.uniform(1.5, 9.5, 65536).astype(np.float32))
     buffers = build_window_buffers(dirs, depths, [None] * w, w)
     params = init_field_params(jax.random.key(0), field_cfg)
-    occ = init_occ_grid(cfg.occ_voxel_size)
+    prop = init_proposal_params(jax.random.key(5), cfg.proposal)
     twists = jnp.asarray(rng.normal(0, 0.02, (w, 6)).astype(np.float32))
     phase = PhaseSettings(num_iterations=1, freeze_poses=False, freeze_sigma_mlp=False)
     runner = make_phase_runner(
@@ -63,15 +80,15 @@ def main() -> None:
     print("bench: compiling + warmup...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     out = runner(
-        params, occ, twists, buffers, jnp.ones((w,), jnp.float32),
+        params, prop, twists, buffers, jnp.ones((w,), jnp.float32),
         jnp.asarray(12.0, jnp.float32), jnp.zeros(3, jnp.float32),
-        0, jax.random.key(1), num_iterations=1,
+        0, jax.random.key(1), num_iterations=10,
     )
     np.asarray(out[3])
     print(f"bench: compiled in {time.perf_counter() - t0:.1f}s; timing...",
           file=sys.stderr, flush=True)
 
-    n_iter = 30
+    n_iter = 50
     t0 = time.perf_counter()
     out = runner(
         out[0], out[1], out[2], buffers, jnp.ones((w,), jnp.float32),

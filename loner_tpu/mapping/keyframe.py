@@ -42,16 +42,23 @@ class KeyFrame:
         return self._frame.get_time()
 
     # -- optimizer interface ------------------------------------------------
-    def scan_dirs(self) -> np.ndarray:
-        """(3, N) sensor-frame ray directions (MASK strategy: pre-filtered)."""
+    def scan_dirs(self, use_mask: bool = False) -> np.ndarray:
+        """(3, N) sensor-frame ray directions.
+
+        ``use_mask`` (rays_selection.strategy == MASK) pre-filters the
+        buffer to mask-true points; uniform index sampling over the packed
+        buffer is then exactly the reference's sample-from-mask-indices
+        (src/mapping/optimizer.py:289-292). RANDOM/FIXED ignore the mask,
+        like the reference.
+        """
         scan = self._frame.lidar_points
-        if scan.mask is not None:
+        if use_mask and scan.mask is not None:
             return scan.ray_directions[:, scan.mask]
         return scan.ray_directions
 
-    def scan_depths(self) -> np.ndarray:
+    def scan_depths(self, use_mask: bool = False) -> np.ndarray:
         scan = self._frame.lidar_points
-        if scan.mask is not None:
+        if use_mask and scan.mask is not None:
             return scan.distances[scan.mask]
         return scan.distances
 

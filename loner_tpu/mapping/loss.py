@@ -142,6 +142,7 @@ def compute_lidar_loss(
         js_c = jnp.minimum(js_c, cfg.max_js_score)
         eps_dyn = eps_min * (1.0 + cfg.js_alpha * js_c)
         eps_dyn = jax.lax.stop_gradient(eps_dyn)[:, None]  # (B, 1)
+        per_ray_eps = eps_dyn[:, 0]
         depth_eps = eps_dyn.mean()
         weights_gt = get_weights_gt(z_m, depths_gt_m[:, None], eps=eps_dyn)
     elif sel in ("L1_LOS", "L2_LOS"):
@@ -154,6 +155,7 @@ def compute_lidar_loss(
             )
         else:
             depth_eps = jnp.asarray(cfg.depth_eps)
+        per_ray_eps = jnp.broadcast_to(depth_eps, depths_gt_m.shape)
         weights_gt = get_weights_gt(z_m, depths_gt_m[:, None], eps=depth_eps)
     else:
         raise ValueError(f"Unknown loss selection {sel}")
@@ -196,5 +198,13 @@ def compute_lidar_loss(
         "depths_gt_m": depths_gt_m,
         "opaque": opaque,
         "valid": valid,
+        # Per-ray debug record (store_ray / draw_samples / draw_rays_eps
+        # flags, reference optimizer.py:314-331,544-566). Entries unused by
+        # the step's outputs are dead-code-eliminated by XLA.
+        "rays": rays,
+        "depths_cube": depths_cube,
+        "per_ray_eps": per_ray_eps,
+        "w_pred": w_pred,
+        "w_gt": weights_gt,
     }
     return loss, aux

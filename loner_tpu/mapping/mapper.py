@@ -77,6 +77,9 @@ class Mapper:
                 write_ray_point_clouds=bool(
                     settings.debug.get("write_ray_point_clouds", False)
                 ),
+                store_ray=bool(settings.debug.get("store_ray", False)),
+                draw_samples=bool(settings.debug.get("draw_samples", False)),
+                draw_rays_eps=bool(settings.debug.get("draw_rays_eps", False)),
             )
         self._optimizer = optimizer
 

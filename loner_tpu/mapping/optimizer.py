@@ -90,6 +90,10 @@ class OptimizerConfig:
     occ_lr: float = 1e-4
     occ_update_every: int = 10
     prop_lr: float = 1e-3  # proposal-MLP Adam rate (PROPOSAL strategy)
+    # Occupancy control points per ray for the PROPOSAL sampler (0 = half
+    # the sample count, the grid-path default). 129 gives 128 lane-aligned
+    # bins — plenty for the smooth MLP field at half the lookup cost.
+    prop_n_ctrl: int = 0
     proposal: ProposalConfig = dc_field(default_factory=ProposalConfig)
     ray_range: Tuple[float, float] = (1.0, 10.0)
     window_size: int = 8
@@ -112,6 +116,12 @@ class OptimizerConfig:
         occ = model_cfg.model.occ_model
         train = model_cfg.train
         occ_d = dict(occ)
+        rays_strategy = str(opt_settings.rays_selection.strategy)
+        if rays_strategy not in ("RANDOM", "MASK", "FIXED"):
+            # Reference raises on unknown strategies (optimizer.py:295-297).
+            raise RuntimeError(
+                f"Can't find rays_selection strategy: {rays_strategy}"
+            )
         return OptimizerConfig(
             n_lidar_samples=int(opt_settings.num_samples.lidar),
             n_sky_samples=int(opt_settings.num_samples.sky),
@@ -122,15 +132,17 @@ class OptimizerConfig:
             lr_pose=float(train.lrate_pose),
             lr_gamma=float(train.lrate_gamma),
             samples_strategy=str(opt_settings.samples_selection.strategy),
-            rays_strategy=str(opt_settings.rays_selection.strategy),
+            rays_strategy=rays_strategy,
             occ_voxel_size=int(occ.voxel_size),
             occ_lr=float(occ.lr),
             occ_update_every=int(occ.N_iters_acc),
             prop_lr=float(occ_d.get("prop_lr", 1e-3)),
+            prop_n_ctrl=int(occ_d.get("prop_n_ctrl", 0)),
             proposal=ProposalConfig.from_settings(occ_d.get("proposal", {})),
             ray_range=tuple(float(x) for x in model_cfg.model.ray_range),
             encode_impl=str(dict(train).get("encode_impl", "vjp_bf16")),
             steps_per_dispatch=int(dict(train).get("steps_per_dispatch", 10)),
+            point_chunk=int(dict(train).get("point_chunk", 131072)),
             loss=LossConfig.from_settings(model_cfg.loss),
         )
 
@@ -158,6 +170,7 @@ def make_phase_runner(
     point_pad: int,
     sky_pad: int,
     encode_fn=None,
+    extras_mode: str = "none",
 ):
     """Build the runner for an optimization phase: a jitted single
     ITERATION (sample -> build rays -> render -> loss -> masked multi-LR
@@ -174,12 +187,13 @@ def make_phase_runner(
     Static: hyperparameters, freeze flags, buffer shapes. Donated: params,
     optimizer state, occupancy grid (in-place HBM updates).
     """
+    assert extras_mode in ("none", "ray", "full")
     use_occ = cfg.samples_strategy == "OGM"
     use_prop = cfg.samples_strategy == "PROPOSAL"
     if use_occ:
         sampler = OccGridRaySampler()
     elif use_prop:
-        sampler = ProposalRaySampler()
+        sampler = ProposalRaySampler(n_ctrl=cfg.prop_n_ctrl or None)
     else:
         sampler = UniformRaySampler()
     n_sky = cfg.n_sky_samples if cfg.enable_sky else 0
@@ -325,9 +339,30 @@ def make_phase_runner(
                 global_step % cfg.occ_update_every == 0, do_occ, lambda og: og, occ_grid
             )
 
+        # Per-iteration ray record for the store_ray / draw_samples /
+        # draw_rays_eps debug flags (reference optimizer.py:314-331,
+        # 544-566). Unrequested aux entries are DCE'd by XLA.
+        extras = {}
+        if extras_mode != "none":
+            extras = {
+                "rays": aux["rays"],
+                "depths_cube": aux["depths_cube"],
+                "std": aux["std"],
+                "js": aux["js_score"],
+                "valid": aux["valid"],
+            }
+        if extras_mode == "full":
+            extras.update(
+                points=aux["points"],
+                w_pred=aux["w_pred"],
+                w_gt=aux["w_gt"],
+                z_m=aux["z_m"],
+                per_ray_eps=aux["per_ray_eps"],
+            )
+
         # Report the mapping loss (aux["loss"]), not the total that may
         # include the proposal-training term.
-        return opt_params, opt_state, occ_grid, aux["loss"], aux["depth_eps"]
+        return opt_params, opt_state, occ_grid, aux["loss"], aux["depth_eps"], extras
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(opt_params, opt_state, occ_grid, static_intensity, buffers,
@@ -341,7 +376,9 @@ def make_phase_runner(
     # host/tunnel cost (argument marshalling across the device transport)
     # is paid once per k steps instead of every step. The scan body is
     # compiled once, so compile time matches the single-step program.
-    k_fused = max(int(cfg.steps_per_dispatch), 1)
+    # The heavy per-iteration debug record forces single-step dispatch
+    # (its stacked extras would not fit host memory comfortably).
+    k_fused = max(int(cfg.steps_per_dispatch), 1) if extras_mode != "full" else 1
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def multi_step(opt_params, opt_state, occ_grid, static_intensity, buffers,
@@ -349,17 +386,17 @@ def make_phase_runner(
         def body(carry, i):
             p, s, og = carry
             sub = jax.random.fold_in(key, i)
-            p, s, og, loss, eps = step_core(
+            p, s, og, loss, eps, extras = step_core(
                 p, s, og, static_intensity, buffers, pose_mask,
                 world_scale, world_shift, it0 + i, gs0 + i, sub,
             )
-            return (p, s, og), (loss, eps)
+            return (p, s, og), (loss, eps, extras)
 
-        (opt_params, opt_state, occ_grid), (losses, epss) = jax.lax.scan(
+        (opt_params, opt_state, occ_grid), (losses, epss, extras) = jax.lax.scan(
             body, (opt_params, opt_state, occ_grid),
             jnp.arange(k_fused, dtype=jnp.int32),
         )
-        return opt_params, opt_state, occ_grid, losses, epss
+        return opt_params, opt_state, occ_grid, losses, epss, extras
 
     def run_phase(
         field_params: Dict[str, Any],
@@ -372,6 +409,7 @@ def make_phase_runner(
         global_step0,
         key: jax.Array,
         num_iterations: int = None,
+        extras_log: Optional[list] = None,
     ):
         n_iters = phase.num_iterations if num_iterations is None else num_iterations
         opt_params = {"sigma": field_params["sigma"], "twists": twists}
@@ -384,11 +422,23 @@ def make_phase_runner(
         static_intensity = field_params["intensity"]
         step0 = int(global_step0)
 
+        def collect(extras, k: int):
+            # Fetch the per-iteration debug record host-side; single-step
+            # dispatches get a leading length-1 axis to match the scan's
+            # stacked (k, ...) layout.
+            if extras_log is None or not extras:
+                return
+            if k == 1:
+                rec = {name: np.asarray(v)[None] for name, v in extras.items()}
+            else:
+                rec = {name: np.asarray(v) for name, v in extras.items()}
+            extras_log.append(rec)
+
         losses, eps_log = [], []
         i = 0
         if k_fused > 1:
             while i + k_fused <= n_iters:
-                opt_params, opt_state, occ_grid, ls, es = multi_step(
+                opt_params, opt_state, occ_grid, ls, es, extras = multi_step(
                     opt_params, opt_state, occ_grid, static_intensity, buffers,
                     pose_mask, world_scale, world_shift,
                     jnp.asarray(i, jnp.int32), jnp.asarray(step0 + i, jnp.int32),
@@ -396,9 +446,10 @@ def make_phase_runner(
                 )
                 losses.append(ls)
                 eps_log.append(es)
+                collect(extras, k_fused)
                 i += k_fused
         while i < n_iters:
-            opt_params, opt_state, occ_grid, loss, eps = step(
+            opt_params, opt_state, occ_grid, loss, eps, extras = step(
                 opt_params, opt_state, occ_grid, static_intensity, buffers,
                 pose_mask, world_scale, world_shift,
                 jnp.asarray(i, jnp.int32), jnp.asarray(step0 + i, jnp.int32),
@@ -406,6 +457,7 @@ def make_phase_runner(
             )
             losses.append(loss[None] if loss.ndim == 0 else loss)
             eps_log.append(eps[None] if eps.ndim == 0 else eps)
+            collect(extras, 1)
             i += 1
 
         new_field = {"sigma": opt_params["sigma"], "intensity": static_intensity}
@@ -446,6 +498,9 @@ class Optimizer:
         verbose_timing: bool = False,
         log_losses: bool = False,
         write_ray_point_clouds: bool = False,
+        store_ray: bool = False,
+        draw_samples: bool = False,
+        draw_rays_eps: bool = False,
     ) -> None:
         self._cfg = cfg
         self._field_cfg = field_cfg
@@ -461,6 +516,15 @@ class Optimizer:
         self._verbose_timing = verbose_timing
         self._log_losses = log_losses
         self._write_ray_point_clouds = write_ray_point_clouds
+        self._store_ray = store_ray
+        self._draw_samples = draw_samples
+        self._draw_rays_eps = draw_rays_eps
+        if draw_samples or draw_rays_eps:
+            self._extras_mode = "full"
+        elif store_ray:
+            self._extras_mode = "ray"
+        else:
+            self._extras_mode = "none"
 
         key = jax.random.key(seed)
         k_field, k_prop, self._key = jax.random.split(key, 3)
@@ -498,10 +562,11 @@ class Optimizer:
     def _get_runner(self, phase: PhaseSettings, w: int, p: int, ps: int):
         # num_iterations is NOT part of the compiled step: the 50-iter and
         # 1000-iter phases share one jitted program.
-        cache_key = (replace(phase, num_iterations=0), w, p, ps)
+        cache_key = (replace(phase, num_iterations=0), w, p, ps, self._extras_mode)
         if cache_key not in self._runner_cache:
             self._runner_cache[cache_key] = make_phase_runner(
-                self._cfg, self._field_cfg, phase, w, p, ps, self._encode_fn
+                self._cfg, self._field_cfg, phase, w, p, ps, self._encode_fn,
+                extras_mode=self._extras_mode,
             )
         return self._runner_cache[cache_key]
 
@@ -523,9 +588,10 @@ class Optimizer:
         num_its = sum(p.num_iterations for p in phases)
 
         w = self._cfg.window_size
+        use_mask = self._cfg.rays_strategy == "MASK"
         buffers = build_window_buffers(
-            [kf.scan_dirs() for kf in window],
-            [kf.scan_depths() for kf in window],
+            [kf.scan_dirs(use_mask) for kf in window],
+            [kf.scan_depths(use_mask) for kf in window],
             [kf.sky_dirs() for kf in window],
             w,
         )
@@ -542,6 +608,7 @@ class Optimizer:
         twists = jnp.asarray(twists)
 
         all_losses, all_eps = [], []
+        extras_log: Optional[list] = [] if self._extras_mode != "none" else None
         trace_ctx = optimizer_trace(self._log_directory, self._profile_optimizer)
         trace_ctx.__enter__()
         for phase in phases:
@@ -576,6 +643,7 @@ class Optimizer:
                 self.state.global_step,
                 sub,
                 num_iterations=eff_phase.num_iterations,
+                extras_log=extras_log,
             )
             self.state.global_step += eff_phase.num_iterations
             all_losses.append(np.asarray(losses))
@@ -589,6 +657,27 @@ class Optimizer:
                 )
 
         trace_ctx.__exit__(None, None, None)
+
+        if extras_log and self._log_directory is not None:
+            from loner_tpu.runtime.debug_artifacts import dump_iteration_ray_record
+
+            dump_iteration_ray_record(
+                extras_log,
+                self._log_directory,
+                self._keyframe_count,
+                n_lidar=self._cfg.n_lidar_samples,
+                n_sky=self._cfg.n_sky_samples if self._cfg.enable_sky else 0,
+                window_slots=w,
+                num_kfs=m,
+                world_scale=float(self._world_scale),
+                world_shift=np.asarray(self._world_shift),
+                eps_min=self._cfg.loss.min_depth_eps,
+                js_alpha=self._cfg.loss.js_alpha,
+                max_js_score=self._cfg.loss.max_js_score,
+                store_ray=self._store_ray,
+                draw_samples=self._draw_samples,
+                draw_rays_eps=self._draw_rays_eps,
+            )
 
         # Fatal non-finite checks (reference optimizer.py:368-374, 590).
         twists_np = np.asarray(twists)

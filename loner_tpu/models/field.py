@@ -77,15 +77,19 @@ class FourierConfig:
         )
 
 
-def fourier_encode(pos01: jax.Array, cfg: FourierConfig) -> jax.Array:
-    """(N, 3) in [0, 1] -> (N, 2F [+3]) features. The projection matrix is
-    a deterministic function of cfg.seed; XLA folds it to a constant."""
-    bmat = (
+def fourier_bmat(cfg: FourierConfig) -> jax.Array:
+    """The fixed Gaussian projection matrix (3, F); a deterministic
+    function of cfg.seed, constant-folded by XLA."""
+    return (
         jax.random.normal(jax.random.key(cfg.seed), (3, cfg.n_freqs), jnp.float32)
         * cfg.scale
         * (2.0 * jnp.pi)
     )
-    proj = pos01 @ bmat
+
+
+def fourier_encode(pos01: jax.Array, cfg: FourierConfig) -> jax.Array:
+    """(N, 3) in [0, 1] -> (N, 2F [+3]) features."""
+    proj = pos01 @ fourier_bmat(cfg)
     feats = [jnp.sin(proj), jnp.cos(proj)]
     if cfg.include_input:
         feats.append(pos01)
@@ -119,6 +123,13 @@ class FieldConfig:
     # fourier MLP benefits from them).
     sigma_mlp_bias: bool = False
     compute_dtype: Any = jnp.float32
+    # Fused Pallas kernel for the fourier sigma head (encode + MLP fwd/bwd
+    # VMEM-resident, ops/pallas/fourier_mlp.py). "auto" uses it on TPU
+    # (requires include_input=True), "xla" forces the pure-XLA path,
+    # "pallas" forces the kernel (interpret mode off-TPU is debug-only).
+    # Default "xla": on the current toolchain XLA's fused MLP matches the
+    # hand kernel forward and beats it backward (see docs/PERFORMANCE.md).
+    sigma_kernel: str = "xla"
 
     @property
     def sigma_input_dim(self) -> int:
@@ -171,6 +182,7 @@ class FieldConfig:
                 nerf_cfg.get("sigma_mlp_bias", encoding == "fourier")
             ),
             compute_dtype=compute_dtype,
+            sigma_kernel=str(nerf_cfg.get("sigma_kernel", "xla")),
         )
 
 
@@ -193,16 +205,20 @@ def _init_mlp(
 
 
 def _apply_mlp(params: Dict[str, jax.Array], x: jax.Array, dtype) -> jax.Array:
-    """ReLU MLP; matmuls in ``dtype``, f32 accumulation."""
+    """ReLU MLP; matmuls in ``dtype``. MXU accumulation is f32 internally
+    either way; hidden activations are WRITTEN in ``dtype`` (halving the
+    dominant HBM traffic at multi-million-point batches when bfloat16),
+    and only the final layer materializes f32."""
     n = sum(1 for k in params if k.startswith("w"))
     h = x.astype(dtype)
     for i in range(n):
         w = params[f"w{i}"].astype(dtype)
-        h = jnp.dot(h, w, preferred_element_type=jnp.float32)
+        last = i == n - 1
+        h = jnp.dot(h, w, preferred_element_type=jnp.float32 if last else dtype)
         if f"b{i}" in params:
-            h = h + params[f"b{i}"]
-        if i < n - 1:
-            h = jax.nn.relu(h).astype(dtype)
+            h = h + params[f"b{i}"].astype(h.dtype)
+        if not last:
+            h = jax.nn.relu(h)
     return h  # f32 (from preferred_element_type)
 
 
@@ -233,6 +249,25 @@ def _encode_sigma(sigma_params, pos01, cfg: FieldConfig, encode_fn=None) -> jax.
     return encode(sigma_params["table"], pos01, cfg.pos_encoding_sigma)
 
 
+def _use_fused_fourier(cfg: FieldConfig) -> bool:
+    if cfg.encoding_sigma != "fourier" or not cfg.fourier_sigma.include_input:
+        return False
+    if cfg.sigma_kernel == "pallas":
+        return True
+    return cfg.sigma_kernel == "auto" and jax.default_backend() == "tpu"
+
+
+def _fused_sigma(sigma_params, pos01, cfg: FieldConfig) -> jax.Array:
+    from loner_tpu.ops.pallas.fourier_mlp import fourier_sigma_fused
+
+    return fourier_sigma_fused(
+        sigma_params["mlp"],
+        pos01,
+        fourier_bmat(cfg.fourier_sigma),
+        compute_dtype=cfg.compute_dtype,
+    )
+
+
 def query_sigma(
     params: Dict[str, Any],
     pos: jax.Array,
@@ -245,6 +280,8 @@ def query_sigma(
     (e.g. the custom-VJP training path); default is the pure-XLA gather.
     """
     pos01 = (pos + 1.0) * 0.5
+    if _use_fused_fourier(cfg):
+        return _fused_sigma(params["sigma"], pos01, cfg)
     feats = _encode_sigma(params["sigma"], pos01, cfg, encode_fn)
     return _apply_mlp(params["sigma"]["mlp"], feats, cfg.compute_dtype)
 
@@ -269,8 +306,11 @@ def query_field(
     if detach_sigma and not sigma_only:
         sigma_params = jax.lax.stop_gradient(sigma_params)
     pos01 = (pos + 1.0) * 0.5
-    feats = _encode_sigma(sigma_params, pos01, cfg, encode_fn)
-    sigma = _apply_mlp(sigma_params["mlp"], feats, cfg.compute_dtype)
+    if _use_fused_fourier(cfg):
+        sigma = _fused_sigma(sigma_params, pos01, cfg)
+    else:
+        feats = _encode_sigma(sigma_params, pos01, cfg, encode_fn)
+        sigma = _apply_mlp(sigma_params["mlp"], feats, cfg.compute_dtype)
     finfo = jnp.finfo(cfg.compute_dtype)
     sigma = jnp.nan_to_num(sigma, posinf=finfo.max, neginf=finfo.min)
 

@@ -55,24 +55,35 @@ def sample_pdf(
     else:
         u = jax.random.uniform(key, (n_rays, n_importance), dtype=cdf.dtype)
 
-    # Branchless searchsorted(side="right"): count of cdf entries <= u.
-    # A (B, Q, B+1) comparison + reduction fuses into dense VPU tiles;
-    # the vmapped binary search it replaces lowers to a serial gather
-    # loop on TPU.
-    inds = jnp.sum(
-        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
+    # Interval lookup WITHOUT gathers: per-sample random indexing
+    # (searchsorted + take_along_axis) lowers to serialized loops on TPU.
+    # Instead build the one-hot interval-membership indicator and contract
+    # it against the stacked [cdf_lo, cdf_hi, bin_lo, bin_hi] features —
+    # a batched (Q, M-1) @ (M-1, 4) matmul that rides the MXU. ge is
+    # monotone non-increasing along the bin axis (cdf is sorted), so the
+    # finite difference ge[j] - ge[j+1] is exactly the indicator of the
+    # interval containing u; u is clamped to cdf[-1] so the final interval
+    # absorbs top-edge rounding.
+    u = jnp.minimum(u, cdf[:, -1:])
+    ge = (cdf[:, None, :] <= u[:, :, None]).astype(cdf.dtype)  # (B, Q, M)
+    ind = ge[:, :, :-1] - ge[:, :, 1:]  # (B, Q, M-1), one-hot
+    ind = ind.at[:, :, -1].add(ge[:, :, -1])
+    feats = jnp.stack(
+        [cdf[:, :-1], cdf[:, 1:], bins[:, :-1], bins[:, 1:]], axis=-1
+    )  # (B, M-1, 4)
+    sel = jnp.einsum(
+        "bqm,bmf->bqf", ind, feats, preferred_element_type=cdf.dtype
     )
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, n_bins)
-
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_b = jnp.take_along_axis(bins, below, axis=-1)
-    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+    cdf_b, cdf_a, bins_b, bins_a = (
+        sel[..., 0], sel[..., 1], sel[..., 2], sel[..., 3]
+    )
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < eps, 1.0, denom)
-    return bins_b + (u - cdf_b) / denom * (bins_a - bins_b)
+    out = bins_b + (u - cdf_b) / denom * (bins_a - bins_b)
+    # Top edge: u at (or clamped to) the final CDF value maps to the last
+    # bin edge — the searchsorted formulation's below==above overflow case.
+    return jnp.where(u >= cdf[:, -1:], bins[:, -1:], out)
 
 
 def stratified_z_vals(
@@ -209,11 +220,28 @@ class OccGridRaySampler:
 
 
 class ProposalRaySampler:
-    """TPU-native occupancy sampler: identical sampling math to
-    OccGridRaySampler but the log-odds field is a small Fourier MLP
-    (models/proposal.py) instead of a voxel grid — dense matmuls rather
+    """TPU-native occupancy sampler: the log-odds field is a small Fourier
+    MLP (models/proposal.py) instead of a voxel grid — dense matmuls rather
     than per-sample grid gathers. The proposal parameter pytree is passed
-    through the same ``occ_grid`` slot."""
+    through the same ``occ_grid`` slot.
+
+    Sampling splits the probability mass like the reference's
+    OccGridRaySampler (half uniform + half occupancy-guided,
+    ray_sampling.py:46-92) but draws ALL samples in one stratified
+    inverse-CDF pass over the BLENDED density 0.5·U(near,far) +
+    0.5·occupancy. Stratified u is sorted by construction, so the samples
+    come out sorted — no concat + per-ray sort (which costs as much as the
+    field evaluation on TPU), and the inverse-CDF runs once instead of
+    once-per-half.
+
+    ``n_ctrl`` sets the occupancy control-grid resolution along each ray
+    (bin count = n_ctrl - 1); default half the sample count like the grid
+    path. The smooth MLP field needs far fewer control points than there
+    are samples — 129 (128 lane-aligned bins) halves the interval-lookup
+    traffic at reference scale with no measurable quality change."""
+
+    def __init__(self, n_ctrl: Optional[int] = None) -> None:
+        self._n_ctrl = n_ctrl
 
     def get_samples(self, key, rays, n_samples, perturb, occ_grid=None):
         from loner_tpu.models.proposal import proposal_logits
@@ -225,10 +253,49 @@ class ProposalRaySampler:
         # its own training signal, mirroring the reference's detached
         # occupancy update).
         prop = jax.lax.stop_gradient(occ_grid)
-        return _occupancy_importance_samples(
-            key, rays, n_samples, perturb,
-            lambda pts: proposal_logits(prop, pts),
+        rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+        near, far = rays[:, 9:10], rays[:, 10:11]
+        n_rays = rays.shape[0]
+        n_ctrl = self._n_ctrl or n_samples // 2
+
+        steps = jnp.linspace(0.0, 1.0, n_ctrl, dtype=rays.dtype)
+        z_ctrl = near * (1.0 - steps) + far * steps  # (B, C) bin edges
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_ctrl[..., None]
+        probs = jax.nn.sigmoid(proposal_logits(prop, pts))
+        # Same clip-to-[0.5,1]-and-rescale transform as the grid sampler.
+        probs = 2.0 * (jnp.clip(probs, 0.5, 1.0) - 0.5)
+
+        # Per-interval occupancy mass (trapezoid), normalized; blended
+        # 50/50 with the uniform density.
+        occ_w = 0.5 * (probs[:, :-1] + probs[:, 1:]) + 1e-5
+        occ_w = occ_w / occ_w.sum(axis=-1, keepdims=True)
+        w = 0.5 / (n_ctrl - 1) + 0.5 * occ_w  # (B, C-1)
+
+        # Stratified (sorted) u; perturb jitters within each stratum.
+        q = jnp.arange(n_samples, dtype=rays.dtype)
+        if perturb > 0 and key is not None:
+            jitter = jax.random.uniform(key, (n_rays, n_samples), dtype=rays.dtype)
+        else:
+            jitter = 0.5
+        u = (q[None, :] + jitter) / n_samples  # (B, Q), sorted per ray
+
+        cdf = jnp.cumsum(w, axis=-1)
+        cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)
+        # The occupancy CDF guides WHERE to sample but must not leak pose
+        # gradients (the grid path stop_gradients its importance samples
+        # the same way); z_ctrl stays differentiable like the uniform
+        # sampler's near/far-derived z values.
+        cdf = jax.lax.stop_gradient(cdf)
+        u = jnp.minimum(u, cdf[:, -1:])
+        ge = (cdf[:, None, :] <= u[:, :, None]).astype(cdf.dtype)
+        ind = ge[:, :, :-1] - ge[:, :, 1:]
+        ind = ind.at[:, :, -1].add(ge[:, :, -1])
+        feats = jnp.stack(
+            [cdf[:, :-1], cdf[:, 1:], z_ctrl[:, :-1], z_ctrl[:, 1:]], axis=-1
         )
+        sel = jnp.einsum("bqm,bmf->bqf", ind, feats, preferred_element_type=cdf.dtype)
+        denom = jnp.where(sel[..., 1] - sel[..., 0] < 1e-5, 1.0, sel[..., 1] - sel[..., 0])
+        return sel[..., 2] + (u - sel[..., 0]) / denom * (sel[..., 3] - sel[..., 2])
 
 
 def make_sampler(occ_state):

@@ -54,3 +54,82 @@ def test_visualize_loss(tmp_path):
     wg = wp / wp.sum()
     fname = visualize_loss(z, wp, wg, 5.0, 1.0, 0.5, str(tmp_path), global_step=7)
     assert fname is not None and os.path.exists(fname)
+
+
+def _tiny_runner_extras(extras_mode, n_iters=3, steps_per_dispatch=2):
+    import jax
+    import jax.numpy as jnp
+
+    from loner_tpu.mapping.optimizer import (
+        OptimizerConfig,
+        PhaseSettings,
+        make_phase_runner,
+    )
+    from loner_tpu.mapping.rays import build_window_buffers
+    from loner_tpu.models.field import FieldConfig, init_field_params
+    from loner_tpu.models.hash_encoding import HashEncodingConfig
+    from loner_tpu.models.occupancy_grid import init_occ_grid
+
+    w = 2
+    cfg = OptimizerConfig(
+        n_lidar_samples=16, n_sky_samples=0, n_samples_per_ray=8,
+        window_size=w, ray_range=(0.5, 10.0), occ_voxel_size=8,
+        point_chunk=0, steps_per_dispatch=steps_per_dispatch,
+    )
+    field_cfg = FieldConfig(
+        pos_encoding_sigma=HashEncodingConfig(n_levels=2, log2_hashmap_size=10),
+        pos_encoding_intensity=HashEncodingConfig(n_levels=2, log2_hashmap_size=10),
+    )
+    rng = np.random.default_rng(0)
+    dirs, deps = [], []
+    for _ in range(w):
+        d = rng.normal(size=(3, 64))
+        dirs.append((d / np.linalg.norm(d, axis=0)).astype(np.float32))
+        deps.append(rng.uniform(1.0, 9.0, 64).astype(np.float32))
+    bufs = build_window_buffers(dirs, deps, [None] * w, w)
+    runner = make_phase_runner(
+        cfg, field_cfg, PhaseSettings(num_iterations=n_iters), w,
+        bufs.dirs.shape[1], bufs.sky_dirs.shape[1], extras_mode=extras_mode,
+    )
+    log = []
+    runner(
+        init_field_params(jax.random.key(0), field_cfg), init_occ_grid(8),
+        jnp.zeros((w, 6), jnp.float32), bufs, jnp.ones((w,)),
+        jnp.asarray(12.0), jnp.zeros(3), 0, jax.random.key(1),
+        num_iterations=n_iters, extras_log=log,
+    )
+    return log
+
+
+def test_store_ray_record_collects_all_iterations():
+    log = _tiny_runner_extras("ray", n_iters=3, steps_per_dispatch=2)
+    total = sum(r["rays"].shape[0] for r in log)
+    assert total == 3
+    for r in log:
+        assert r["rays"].shape[-2:] == (32, 11)  # 2 slots x 16 rays
+        assert r["std"].shape[-1] == 32 and r["js"].shape[-1] == 32
+
+
+def test_iteration_ray_record_dump(tmp_path):
+    from loner_tpu.runtime.debug_artifacts import dump_iteration_ray_record
+
+    log = _tiny_runner_extras("full", n_iters=2, steps_per_dispatch=1)
+    dump_iteration_ray_record(
+        log, str(tmp_path), 4, n_lidar=16, n_sky=0, window_slots=2,
+        num_kfs=2, world_scale=12.0, world_shift=np.zeros(3),
+        eps_min=0.5, js_alpha=1.0, max_js_score=10.0,
+        store_ray=True, draw_samples=True, draw_rays_eps=True,
+    )
+    # store_ray products (reference optimizer.py:393-410 layout)
+    assert os.path.exists(tmp_path / "rays" / "lidar" / "kf_4.pcd")
+    for name in ("sky_mask", "curr_mask", "std", "js"):
+        assert os.path.exists(tmp_path / "rays" / name / "kf_4.npy")
+    js = np.load(tmp_path / "rays" / "js" / "kf_4.npy")
+    assert js.ndim == 1 and np.isfinite(js).all()
+    # per-iteration draw_samples / draw_rays_eps products
+    assert os.path.exists(tmp_path / "samples" / "samples_kf4_it0.pcd")
+    assert os.path.exists(tmp_path / "samples" / "samples_kf4_it1_gt.pcd")
+    assert os.path.exists(tmp_path / "rays_eps" / "rays_kf4_it1.pcd")
+    # intensity column present
+    with open(tmp_path / "rays_eps" / "rays_kf4_it0.pcd") as f:
+        assert "FIELDS x y z intensity" in f.read()

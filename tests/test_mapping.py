@@ -301,3 +301,60 @@ class TestKeyFrameManager:
         mgr = self._mgr()
         mgr.process_frame(self._frame(0.0))
         assert len(mgr.get_active_window()) == 1
+
+
+class TestMaskRayStrategy:
+    """MASK rays-selection (reference optimizer.py:289-292): sampling is
+    restricted to mask-true scan points via window-buffer pre-filtering."""
+
+    def _keyframe_with_mask(self):
+        from loner_tpu.common.sensors import LidarScan
+
+        rng = np.random.default_rng(3)
+        n = 64
+        d = rng.normal(size=(3, n))
+        d /= np.linalg.norm(d, axis=0)
+        mask = np.zeros(n, bool)
+        mask[: n // 4] = True
+        scan = LidarScan(
+            d.astype(np.float32),
+            np.full(n, 5.0, np.float32),
+            np.linspace(0, 1, n),
+            mask=mask,
+        )
+        frame = Frame(lidar_points=scan)
+        frame._lidar_pose = Pose.identity()
+        return KeyFrame(frame), mask
+
+    def test_mask_prefilters_buffers(self):
+        kf, mask = self._keyframe_with_mask()
+        assert kf.scan_dirs(use_mask=True).shape[1] == mask.sum()
+        assert kf.scan_depths(use_mask=True).shape[0] == mask.sum()
+        # RANDOM/FIXED ignore the mask (reference samples all indices).
+        assert kf.scan_dirs(use_mask=False).shape[1] == mask.size
+
+    def test_unknown_strategy_rejected(self):
+        s = Settings(
+            {
+                "num_samples": {"lidar": 8, "sky": 0},
+                "rays_selection": {"strategy": "BOGUS"},
+                "samples_selection": {"strategy": "UNIFORM"},
+            }
+        )
+        model_cfg = Settings(
+            {
+                "model": {
+                    "render": {
+                        "N_samples_train": 8, "perturb": 1.0, "raw_noise_std": 0.0,
+                    },
+                    "occ_model": {"voxel_size": 8, "lr": 1e-4, "N_iters_acc": 10},
+                    "ray_range": [0.5, 10.0],
+                },
+                "train": {
+                    "lrate_sigma_mlp": 0.01, "lrate_pose": 1e-3, "lrate_gamma": 1.0,
+                },
+                "loss": {"loss_selection": "L1_JS"},
+            }
+        )
+        with pytest.raises(RuntimeError, match="rays_selection"):
+            OptimizerConfig.from_settings(s, model_cfg)

@@ -117,6 +117,49 @@ class TestSamplePdf:
         frac_in_bin = np.mean((s >= 0.5) & (s <= 0.6))
         assert frac_in_bin > 0.95
 
+    def test_matches_searchsorted_oracle(self):
+        """The matmul-based interval lookup (gathers serialize on TPU) must
+        be bit-equivalent to the searchsorted + take_along_axis oracle
+        (reference rendering_tcnn.py:18-67)."""
+
+        def oracle(key, bins, weights, n_importance, det=False, eps=1e-5):
+            n_rays, n_bins = weights.shape
+            weights = weights + eps
+            pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+            cdf = jnp.cumsum(pdf, axis=-1)
+            cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)
+            if det:
+                u = jnp.broadcast_to(
+                    jnp.linspace(0.0, 1.0, n_importance, dtype=cdf.dtype),
+                    (n_rays, n_importance),
+                )
+            else:
+                u = jax.random.uniform(key, (n_rays, n_importance), dtype=cdf.dtype)
+            inds = jnp.sum((cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1)
+            below = jnp.maximum(inds - 1, 0)
+            above = jnp.minimum(inds, n_bins)
+            cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+            cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+            bins_b = jnp.take_along_axis(bins, below, axis=-1)
+            bins_a = jnp.take_along_axis(bins, above, axis=-1)
+            denom = jnp.where(cdf_a - cdf_b < eps, 1.0, cdf_a - cdf_b)
+            return bins_b + (u - cdf_b) / denom * (bins_a - bins_b)
+
+        rng = np.random.default_rng(0)
+        for trial in range(4):
+            b, m, q = (
+                int(rng.integers(3, 32)),
+                int(rng.integers(8, 128)),
+                int(rng.integers(4, 128)),
+            )
+            bins = jnp.asarray(np.sort(rng.uniform(0, 1, (b, m)), axis=-1), jnp.float32)
+            w = jnp.asarray(rng.uniform(0, 1, (b, m - 1)) ** 2, jnp.float32)
+            for det in (True, False):
+                key = jax.random.key(trial)
+                expect = oracle(key, bins, w, q, det=det)
+                got = sample_pdf(key, bins, w, q, det=det)
+                np.testing.assert_array_equal(np.asarray(expect), np.asarray(got))
+
 
 class TestRaw2Outputs:
     def test_opaque_wall(self):

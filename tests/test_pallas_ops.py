@@ -69,3 +69,68 @@ def test_fused_trilerp_mlp_matches_query_sigma():
     ref = np.asarray(query_sigma(params, pos, cfg))
     fused = np.asarray(query_sigma_fused(params, pos, cfg, interpret=True))
     np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fourier_mlp_fused_fwd_and_grads_match_xla():
+    """Fused RFF+MLP kernel (fwd + custom VJP) vs the pure-XLA field path,
+    including weight/bias gradients and the position gradients that carry
+    pose twists."""
+    from loner_tpu.models.field import (
+        FieldConfig,
+        FourierConfig,
+        MLPConfig,
+        fourier_bmat,
+        init_field_params,
+        query_sigma,
+    )
+    from loner_tpu.models.hash_encoding import HashEncodingConfig
+    from loner_tpu.ops.pallas.fourier_mlp import fourier_sigma_fused
+
+    cfg = FieldConfig(
+        encoding_sigma="fourier",
+        fourier_sigma=FourierConfig(n_freqs=16, scale=3.0),
+        sigma_mlp=MLPConfig(n_neurons=64, n_hidden_layers=2, output_dim=1),
+        sigma_mlp_bias=True,
+        compute_dtype=jnp.float32,
+        sigma_kernel="xla",  # oracle path for query_sigma
+        pos_encoding_intensity=HashEncodingConfig(n_levels=2, log2_hashmap_size=10),
+    )
+    params = init_field_params(jax.random.key(0), cfg)
+    mlp = params["sigma"]["mlp"]
+    bmat = fourier_bmat(cfg.fourier_sigma)
+    n = 300  # non-multiple of TILE_N exercises padding
+    pts = jax.random.uniform(jax.random.key(1), (n, 3), minval=-0.9, maxval=0.9)
+    pts01 = (pts + 1.0) * 0.5
+
+    ref = query_sigma(params, pts, cfg)
+    fused = fourier_sigma_fused(
+        mlp, pts01, bmat, compute_dtype=jnp.float32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fused), atol=1e-4)
+
+    def loss_ref(m, p01):
+        pp = {"sigma": {"mlp": m}, "intensity": params["intensity"]}
+        return (query_sigma(pp, p01 * 2.0 - 1.0, cfg) ** 2).sum()
+
+    def loss_fused(m, p01):
+        return (
+            fourier_sigma_fused(
+                m, p01, bmat, compute_dtype=jnp.float32, interpret=True
+            )
+            ** 2
+        ).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(mlp, pts01)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(mlp, pts01)
+    for k in g_ref[0]:
+        scale = max(float(jnp.abs(g_ref[0][k]).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(g_fused[0][k]) / scale,
+            np.asarray(g_ref[0][k]) / scale,
+            atol=5e-5,
+            err_msg=k,
+        )
+    scale = max(float(jnp.abs(g_ref[1]).max()), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(g_fused[1]) / scale, np.asarray(g_ref[1]) / scale, atol=5e-5
+    )
