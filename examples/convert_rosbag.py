@@ -4,13 +4,14 @@ loner_tpu scan-stream format.
 
 Counterpart of the reference's in-loop rosbag ingest
 (examples/run_loner.py:59-157, 281-328): runs ONCE per dataset instead of
-per run, applying the same timestamp heuristics. Requires the `rosbag`
-python package (available inside a ROS environment); the SLAM framework
-itself has zero ROS dependency.
+per run, applying the same timestamp heuristics. Bags are read with the
+built-in pure-Python ROS1 v2.0 reader
+(loner_tpu.datasets.rosbag_reader) — no ROS environment needed.
 
 Usage:
     python examples/convert_rosbag.py input.bag out_dir \
-        --lidar_topic /os_cloud_node/points [--gt_topic /tf ...]
+        --lidar_topic /os_cloud_node/points \
+        [--gt_topic /tf --gt_frame body]
 """
 from __future__ import annotations
 
@@ -48,48 +49,64 @@ def main() -> None:
     parser.add_argument("out_dir")
     parser.add_argument("--lidar_topic", default="/os_cloud_node/points")
     parser.add_argument("--gt_file", default=None, help="TUM ground-truth file to copy")
+    parser.add_argument(
+        "--gt_topic", default=None,
+        help="TF topic carrying ground-truth poses (e.g. /tf)",
+    )
+    parser.add_argument(
+        "--gt_frame", default=None,
+        help="child frame to extract from --gt_topic (default: all)",
+    )
     parser.add_argument("--min_range", type=float, default=0.3)
     parser.add_argument(
         "--timestamps_relative_to_start", action="store_true", default=True
     )
     args = parser.parse_args()
 
-    try:
-        import rosbag  # type: ignore
-    except ImportError:
-        sys.exit(
-            "rosbag is not available in this environment. Run this converter "
-            "inside a ROS environment, or write scans directly with "
-            "loner_tpu.datasets.scan_stream.ScanStreamWriter."
-        )
+    from loner_tpu.datasets.rosbag_reader import Bag
 
+    topics = [args.lidar_topic] + ([args.gt_topic] if args.gt_topic else [])
     writer = ScanStreamWriter(args.out_dir, meta={"source_bag": os.path.basename(args.bag)})
-    bag = rosbag.Bag(args.bag)
     count = 0
-    for topic, msg, ts in bag.read_messages(topics=[args.lidar_topic]):
-        scan_time = msg.header.stamp.to_sec()
-        ox, oy, oz, t_off, t_kind = field_layout(msg)
-        dirs, ranges, times = decode_point_blob(
-            bytes(msg.data),
-            msg.width * msg.height,
-            msg.point_step,
-            (ox, oy, oz),
-            time_offset=t_off,
-            time_kind=t_kind,
-            min_range=args.min_range,
-        )
-        times = normalize_timestamps(
-            times, scan_time, args.timestamps_relative_to_start
-        )
-        order = np.argsort(times)
-        writer.add_scan(LidarScan(dirs[:, order], ranges[order], times[order]))
-        count += 1
-    bag.close()
+    gt_rows = []
+    with Bag(args.bag) as bag:
+        for topic, msg, ts in bag.read_messages(topics=topics):
+            if args.gt_topic and topic == args.gt_topic:
+                for tf in msg.transforms:
+                    if args.gt_frame and tf.child_frame_id != args.gt_frame:
+                        continue
+                    tr, q = tf.transform.translation, tf.transform.rotation
+                    gt_rows.append(
+                        (tf.header.stamp.to_sec(), tr.x, tr.y, tr.z, q.x, q.y, q.z, q.w)
+                    )
+                continue
+            scan_time = msg.header.stamp.to_sec()
+            ox, oy, oz, t_off, t_kind = field_layout(msg)
+            dirs, ranges, times = decode_point_blob(
+                bytes(msg.data),
+                msg.width * msg.height,
+                msg.point_step,
+                (ox, oy, oz),
+                time_offset=t_off,
+                time_kind=t_kind,
+                min_range=args.min_range,
+            )
+            times = normalize_timestamps(
+                times, scan_time, args.timestamps_relative_to_start
+            )
+            order = np.argsort(times)
+            writer.add_scan(LidarScan(dirs[:, order], ranges[order], times[order]))
+            count += 1
 
     if args.gt_file:
         import shutil
 
         shutil.copy(args.gt_file, os.path.join(args.out_dir, "poses_gt.tum"))
+    elif gt_rows:
+        gt_rows.sort()
+        with open(os.path.join(args.out_dir, "poses_gt.tum"), "w") as f:
+            for row in gt_rows:
+                f.write(" ".join(f"{v:.9f}" for v in row) + "\n")
     print(f"Converted {count} scans to {args.out_dir}")
 
 

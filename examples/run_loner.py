@@ -39,10 +39,18 @@ def build_synthetic_dataset(tmp_dir: str, num_scans: int = 100) -> str:
     scans, poses, ts, _, _ = generate_sequence(
         num_scans=num_scans, lidar=VirtualLidar(num_channels=32, num_columns=512)
     )
-    writer = ScanStreamWriter(tmp_dir, meta={"sensor": "synthetic-box-room"})
+    # Write to a staging dir and rename: an interrupted build must not
+    # leave a half-written dataset that later runs mistake for complete.
+    staging = tmp_dir.rstrip("/") + ".partial"
+    if os.path.exists(staging):
+        import shutil
+
+        shutil.rmtree(staging)
+    writer = ScanStreamWriter(staging, meta={"sensor": "synthetic-box-room"})
     for s in scans:
         writer.add_scan(s)
     writer.write_gt(poses, ts)
+    os.rename(staging, tmp_dir)
     return tmp_dir
 
 
@@ -121,6 +129,10 @@ def main() -> None:
     parser.add_argument("--run_all_combos", action="store_true")
     parser.add_argument("--num_repeats", type=int, default=1)
     parser.add_argument("--duration", type=float, default=None, help="seconds of data")
+    parser.add_argument(
+        "--synthetic_scans", type=int, default=100,
+        help="scan count when dataset_path is 'synthetic'",
+    )
     parser.add_argument("--gpu_ids", nargs="*", default=None, help="ignored (single-chip)")
     parser.add_argument(
         "--lite", action="store_true", help="reduced model for quick runs / CPU"
@@ -153,10 +165,12 @@ def main() -> None:
         args.config = base
 
     if args.dataset_path == "synthetic":
-        dataset_path = os.path.join("./outputs", "synthetic_dataset")
+        n = args.synthetic_scans
+        suffix = "" if n == 100 else f"_{n}"
+        dataset_path = os.path.join("./outputs", f"synthetic_dataset{suffix}")
         if not os.path.exists(os.path.join(dataset_path, "scans")):
-            print("Generating synthetic dataset...")
-            build_synthetic_dataset(dataset_path)
+            print(f"Generating synthetic dataset ({n} scans)...")
+            build_synthetic_dataset(dataset_path, num_scans=n)
     else:
         dataset_path = args.dataset_path
 
@@ -183,18 +197,30 @@ def main() -> None:
     )
 
     multi = len(options) > 1 or args.num_repeats > 1
+    jobs = []
     for config_idx, (settings, desc) in enumerate(zip(options, descriptions)):
         if desc:
             print(f"config_{config_idx}: {desc}")
         for trial_idx in range(args.num_repeats):
-            run_trial(
-                settings,
-                dataset_path,
-                experiment_name=args.experiment_name,
-                config_idx=config_idx if multi else None,
-                trial_idx=trial_idx if args.num_repeats > 1 else None,
-                duration=args.duration,
-            )
+            jobs.append((settings, config_idx, trial_idx))
+
+    def run_one(job, _device):
+        settings, config_idx, trial_idx = job
+        return run_trial(
+            settings,
+            dataset_path,
+            experiment_name=args.experiment_name,
+            config_idx=config_idx if multi else None,
+            trial_idx=trial_idx if args.num_repeats > 1 else None,
+            duration=args.duration,
+        )
+
+    # (config, trial) jobs fan out one-per-device (reference's multi-GPU
+    # trial pool, run_loner.py:339-424); on this 1-chip/1-CPU target the
+    # pool degrades to the original sequential loop.
+    from loner_tpu.parallel.device_pool import map_jobs
+
+    map_jobs(run_one, jobs)
 
 
 if __name__ == "__main__":

@@ -49,25 +49,38 @@ def compute_l1_depth(
     rng = np.random.default_rng(seed)
     frame_ids = rng.choice(len(reader), min(num_frames, len(reader)), replace=False)
 
-    errors = []
-    for fid in frame_ids:
+    # Scans fan out over local devices (reference: one worker process per
+    # GPU, compute_l1_depth.py:66-258); sequential on one chip.
+    from loner_tpu.parallel.device_pool import map_jobs
+
+    # Per-frame RNG draws are made up-front so the sampled rays do not
+    # depend on worker scheduling.
+    frame_rngs = [np.random.default_rng(seed + 1000 + int(fid)) for fid in frame_ids]
+
+    def eval_frame(job, _device):
+        fid, frng = job
         scan = reader.read_scan(int(fid))
         t = scan.get_start_time()
         if not (interp.t_min <= t <= interp.t_max):
-            continue
+            return None
         pose = interp.at(t).matrix
-        idx = rng.choice(len(scan), min(rays_per_frame, len(scan)), replace=False)
+        idx = frng.choice(len(scan), min(rays_per_frame, len(scan)), replace=False)
         dirs_s = scan.ray_directions[:, idx].T
         gt = scan.distances[idx]
         keep = (gt > ray_range[0]) & (gt < ray_range[1])
         if keep.sum() == 0:
-            continue
+            return None
         dirs_w = dirs_s[keep] @ pose[:3, :3].T
         origins = np.broadcast_to(pose[:3, 3], dirs_w.shape)
         out = render_depth_chunked(
             model, origins, dirs_w, ray_range, n_samples=n_samples, ret_var=False
         )
-        errors.append(np.abs(out["depth"] - gt[keep]))
+        return np.abs(out["depth"] - gt[keep])
+
+    errors = [
+        e for e in map_jobs(eval_frame, list(zip(frame_ids, frame_rngs)))
+        if e is not None
+    ]
 
     all_err = np.concatenate(errors)
     result = {

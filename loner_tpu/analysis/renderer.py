@@ -138,6 +138,62 @@ def render_sequence(
     return out_dir
 
 
+def render_flythrough(
+    log_dir: str,
+    ckpt_name: str = "final.tar",
+    width: int = 512,
+    height: int = 256,
+    steps_between: int = 4,
+    spin_every: int = 10,
+    spin_steps: int = 36,
+    fps: int = 10,
+    n_samples: int = 512,
+    use_gt_poses: bool = False,
+    out_dir: Optional[str] = None,
+) -> str:
+    """Video flythrough (reference renderer.py:322-480): interpolated
+    trajectory with periodic 360-degree spins, rendered frame-by-frame.
+
+    This environment has no ffmpeg, so instead of an .mp4 the output is a
+    frame directory + ``frames.txt`` manifest + ``make_video.sh`` holding
+    the one-liner that assembles the video anywhere ffmpeg exists. Frames
+    fan out over local devices (the reference uses a per-GPU process
+    pool).
+    """
+    model = load_experiment(log_dir, ckpt_name)
+    mats, _ = kf_pose_matrices(model, use_gt=use_gt_poses)
+    poses = flythrough_poses(
+        mats, steps_between=steps_between, spin_every=spin_every,
+        spin_steps=spin_steps,
+    )
+    dirs = spherical_ray_directions(width, height)
+    out_dir = out_dir or os.path.join(log_dir, "flythrough")
+    os.makedirs(out_dir, exist_ok=True)
+
+    from loner_tpu.parallel.device_pool import map_jobs
+
+    def render_one(job, _device):
+        i, pose = job
+        frame = render_dataset_frame(
+            model, pose, dirs, (height, width), n_samples=n_samples
+        )
+        fname = f"frame_{i:05d}.png"
+        _save_depth_png(frame["depth"], os.path.join(out_dir, fname))
+        return fname
+
+    frames = map_jobs(render_one, list(enumerate(poses)))
+    with open(os.path.join(out_dir, "frames.txt"), "w") as f:
+        f.write("\n".join(frames) + "\n")
+    cmd = (
+        f"ffmpeg -framerate {fps} -i frame_%05d.png "
+        f"-c:v libx264 -pix_fmt yuv420p flythrough.mp4"
+    )
+    with open(os.path.join(out_dir, "make_video.sh"), "w") as f:
+        f.write("#!/bin/sh\n# Assemble the flythrough (run where ffmpeg exists)\n")
+        f.write(cmd + "\n")
+    return out_dir
+
+
 def _save_depth_png(depth: np.ndarray, fname: str) -> None:
     import matplotlib
 
@@ -157,15 +213,30 @@ if __name__ == "__main__":
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--skip_step", type=int, default=1)
     p.add_argument("--use_gt_poses", action="store_true")
+    p.add_argument(
+        "--flythrough", action="store_true",
+        help="render the spin-flythrough frame sequence instead",
+    )
     args = p.parse_args()
     ckpt = args.ckpt_id if args.ckpt_id.endswith(".tar") else f"{args.ckpt_id}.tar"
-    print(
-        render_sequence(
-            args.experiment_directory,
-            ckpt,
-            width=args.width,
-            height=args.height,
-            skip_step=args.skip_step,
-            use_gt_poses=args.use_gt_poses,
+    if args.flythrough:
+        print(
+            render_flythrough(
+                args.experiment_directory,
+                ckpt,
+                width=args.width,
+                height=args.height,
+                use_gt_poses=args.use_gt_poses,
+            )
         )
-    )
+    else:
+        print(
+            render_sequence(
+                args.experiment_directory,
+                ckpt,
+                width=args.width,
+                height=args.height,
+                skip_step=args.skip_step,
+                use_gt_poses=args.use_gt_poses,
+            )
+        )

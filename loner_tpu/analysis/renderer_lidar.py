@@ -115,13 +115,19 @@ def render_full_map(
     )
     dirs = build_lidar_ray_directions(num_channels, num_columns)
 
-    clouds = []
-    for pose in mats[::skip_step]:
+    # Poses fan out over local devices (one worker per device; sequential
+    # on one chip), replacing the reference's per-GPU process pool
+    # (renderer_lidar.py:185-345).
+    from loner_tpu.parallel.device_pool import map_jobs
+
+    def render_one(pose, _device):
         pts = render_scan(
-            model, pose, dirs, ray_range, n_samples=n_samples, var_threshold=var_threshold
+            model, pose, dirs, ray_range, n_samples=n_samples,
+            var_threshold=var_threshold,
         )
-        if pts.shape[0]:
-            clouds.append(voxel_downsample(pts, voxel_size))
+        return voxel_downsample(pts, voxel_size) if pts.shape[0] else None
+
+    clouds = [c for c in map_jobs(render_one, list(mats[::skip_step])) if c is not None]
     merged = voxel_downsample(np.concatenate(clouds, axis=0), voxel_size)
 
     out_dir = out_dir or os.path.join(log_dir, "lidar_renders")

@@ -170,7 +170,12 @@ def transform_inverse(m: jax.Array) -> jax.Array:
 
 def transform_points(m: jax.Array, pts: jax.Array) -> jax.Array:
     """Apply (4, 4) (or batched) transform to (..., 3) points."""
-    return pts @ jnp.swapaxes(m[..., :3, :3], -1, -2) + m[..., :3, 3]
+    # HIGHEST: TPU f32 matmuls default to bf16 passes (~0.4% coordinate
+    # error at room scale); point transforms must stay exact-f32.
+    return jnp.matmul(
+        pts, jnp.swapaxes(m[..., :3, :3], -1, -2),
+        precision=jax.lax.Precision.HIGHEST,
+    ) + m[..., :3, 3]
 
 
 def interpolate_transforms(

@@ -173,7 +173,11 @@ def sample_and_build_rays(
     trans = jnp.where(is_sky[..., None], mats_det[:, None, :3, 3], mats[:, None, :3, 3])
 
     # World-frame directions, normalized (ray_utils.py:293-297).
-    dirs_w = jnp.einsum("wbij,wbj->wbi", rot, all_dirs)
+    # HIGHEST: bf16 matmul passes would put ~0.4% error on world-frame
+    # directions -> centimeter-scale depth-supervision bias.
+    dirs_w = jnp.einsum(
+        "wbij,wbj->wbi", rot, all_dirs, precision=jax.lax.Precision.HIGHEST
+    )
     dirs_w = dirs_w / jnp.linalg.norm(dirs_w, axis=-1, keepdims=True)
 
     # World-cube origins (ray_utils.py:282-284).

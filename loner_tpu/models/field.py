@@ -89,7 +89,9 @@ def fourier_bmat(cfg: FourierConfig) -> jax.Array:
 
 def fourier_encode(pos01: jax.Array, cfg: FourierConfig) -> jax.Array:
     """(N, 3) in [0, 1] -> (N, 2F [+3]) features."""
-    proj = pos01 @ fourier_bmat(cfg)
+    proj = jnp.dot(
+        pos01, fourier_bmat(cfg), precision=jax.lax.Precision.HIGHEST
+    )
     feats = [jnp.sin(proj), jnp.cos(proj)]
     if cfg.include_input:
         feats.append(pos01)

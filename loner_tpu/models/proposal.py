@@ -87,7 +87,10 @@ def proposal_logits(params: Dict[str, Any], points: jax.Array) -> jax.Array:
     """Occupancy log-odds at points in [-1, 1]^3. points: (..., 3) -> (...)."""
     shape = points.shape[:-1]
     p = points.reshape(-1, 3)
-    proj = p @ jax.lax.stop_gradient(params["bmat"])
+    proj = jnp.dot(
+        p, jax.lax.stop_gradient(params["bmat"]),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     h = jnp.concatenate([jnp.sin(proj), jnp.cos(proj), p], axis=-1)
     n_layers = sum(1 for k in params if k.startswith("w"))
     for i in range(n_layers):

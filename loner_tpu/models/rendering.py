@@ -72,7 +72,8 @@ def sample_pdf(
         [cdf[:, :-1], cdf[:, 1:], bins[:, :-1], bins[:, 1:]], axis=-1
     )  # (B, M-1, 4)
     sel = jnp.einsum(
-        "bqm,bmf->bqf", ind, feats, preferred_element_type=cdf.dtype
+        "bqm,bmf->bqf", ind, feats, preferred_element_type=cdf.dtype,
+        precision=jax.lax.Precision.HIGHEST,  # exact one-hot selection
     )
     cdf_b, cdf_a, bins_b, bins_a = (
         sel[..., 0], sel[..., 1], sel[..., 2], sel[..., 3]
@@ -293,7 +294,10 @@ class ProposalRaySampler:
         feats = jnp.stack(
             [cdf[:, :-1], cdf[:, 1:], z_ctrl[:, :-1], z_ctrl[:, 1:]], axis=-1
         )
-        sel = jnp.einsum("bqm,bmf->bqf", ind, feats, preferred_element_type=cdf.dtype)
+        sel = jnp.einsum(
+            "bqm,bmf->bqf", ind, feats, preferred_element_type=cdf.dtype,
+            precision=jax.lax.Precision.HIGHEST,  # exact one-hot selection
+        )
         denom = jnp.where(sel[..., 1] - sel[..., 0] < 1e-5, 1.0, sel[..., 1] - sel[..., 0])
         return sel[..., 2] + (u - sel[..., 0]) / denom * (sel[..., 3] - sel[..., 2])
 

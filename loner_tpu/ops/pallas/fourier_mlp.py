@@ -192,7 +192,7 @@ def fourier_mlp_apply(static, interpret, mlp_params, bmat, pts01):
 
 
 def _features(pts01, bmat, dtype):
-    proj = pts01 @ bmat  # (N, F) f32
+    proj = jnp.dot(pts01, bmat, precision=jax.lax.Precision.HIGHEST)  # (N, F) f32
     return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1).astype(dtype)
 
 

@@ -41,7 +41,13 @@ def _pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
     """(N, 3), (M, 3) -> (N, M) squared distances via one matmul (MXU)."""
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True).T
-    cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    # precision=HIGHEST: TPU f32 matmuls default to bf16 passes, which
+    # quantize the a^2+b^2-2ab expansion (terms ~100 m^2) by ~1 m —
+    # correspondences and normals become garbage on-chip without this.
+    cross = jnp.dot(
+        a, b.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
 
 
@@ -60,7 +66,10 @@ def estimate_normals(points: jax.Array, valid: jax.Array, k: int = 30) -> jax.Ar
     nbrs = points[idx]  # (N, k, 3)
     mean = nbrs.mean(axis=1, keepdims=True)
     centered = nbrs - mean
-    cov = jnp.einsum("nki,nkj->nij", centered, centered) / k  # (N, 3, 3)
+    cov = jnp.einsum(
+        "nki,nkj->nij", centered, centered,
+        precision=jax.lax.Precision.HIGHEST,
+    ) / k  # (N, 3, 3)
     # Batched symmetric 3x3 eigendecomposition; smallest eigenvector.
     _, vecs = jnp.linalg.eigh(cov)
     normals = vecs[..., 0]
@@ -91,8 +100,10 @@ def _gauss_newton_step(
     jac = jnp.concatenate([jnp.cross(src_t, n), n], axis=-1)  # (N, 6)
 
     jw = jac * w[:, None]
-    jtj = jnp.dot(jw.T, jac, preferred_element_type=jnp.float32)  # (6, 6)
-    jtr = jnp.dot(jw.T, r, preferred_element_type=jnp.float32)  # (6,)
+    jtj = jnp.dot(jw.T, jac, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)  # (6, 6)
+    jtr = jnp.dot(jw.T, r, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)  # (6,)
     xi = -jnp.linalg.solve(jtj + 1e-6 * jnp.eye(6, dtype=jtj.dtype), jtr)
 
     n_inlier = jnp.maximum(w.sum(), 1.0)
@@ -122,7 +133,9 @@ def registration_icp(
 
     def body(carry, _):
         t_mat, prev_fit, prev_rmse, converged = carry
-        src_t = source @ t_mat[:3, :3].T + t_mat[:3, 3]
+        src_t = jnp.dot(
+            source, t_mat[:3, :3].T, precision=jax.lax.Precision.HIGHEST
+        ) + t_mat[:3, 3]
         xi, fitness, rmse = _gauss_newton_step(
             src_t, target, target_normals, source_valid, target_valid, max_dist
         )

@@ -102,9 +102,11 @@ def _tiny_runner_extras(extras_mode, n_iters=3, steps_per_dispatch=2):
 
 
 def test_store_ray_record_collects_all_iterations():
-    log = _tiny_runner_extras("ray", n_iters=3, steps_per_dispatch=2)
+    # n_iters a multiple of steps_per_dispatch: only the fused multi-step
+    # program compiles (suite-runtime budget).
+    log = _tiny_runner_extras("ray", n_iters=4, steps_per_dispatch=2)
     total = sum(r["rays"].shape[0] for r in log)
-    assert total == 3
+    assert total == 4
     for r in log:
         assert r["rays"].shape[-2:] == (32, 11)  # 2 slots x 16 rays
         assert r["std"].shape[-1] == 32 and r["js"].shape[-1] == 32

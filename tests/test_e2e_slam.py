@@ -161,6 +161,19 @@ class TestEndToEnd:
         )
         assert np.all(np.isfinite(out["depth"]))
 
+    def test_flythrough_frames_and_manifest(self, slam_run):
+        from loner_tpu.analysis.renderer import render_flythrough
+
+        out = render_flythrough(
+            slam_run, width=32, height=16, steps_between=1, spin_every=0,
+            n_samples=32,
+        )
+        frames = open(os.path.join(out, "frames.txt")).read().split()
+        assert len(frames) >= 3
+        for f in frames:
+            assert os.path.exists(os.path.join(out, f))
+        assert "ffmpeg" in open(os.path.join(out, "make_video.sh")).read()
+
     def test_l1_depth_metric_pipeline(self, slam_run, synthetic_dataset):
         from loner_tpu.analysis.compute_l1_depth import compute_l1_depth
 

@@ -173,13 +173,13 @@ class TestPoseRefinement:
                 {
                     "num_keyframes": 1,
                     "iteration_schedule": [
-                        {"num_iterations": 150, "freeze_poses": True, "freeze_sigma_mlp": False}
+                        {"num_iterations": 100, "freeze_poses": True, "freeze_sigma_mlp": False}
                     ],
                 },
                 {
                     "num_keyframes": -1,
                     "iteration_schedule": [
-                        {"num_iterations": 80, "freeze_poses": False, "freeze_sigma_mlp": False}
+                        {"num_iterations": 50, "freeze_poses": False, "freeze_sigma_mlp": False}
                     ],
                 },
             ],
@@ -199,6 +199,23 @@ class TestPoseRefinement:
         err_after, _ = gt.distance_to(kfs[2].get_lidar_pose())
         assert err_after < err_before, (err_before, err_after)
 
+    # Pose-freeze semantics don't need a converged map — a few iterations
+    # exercise the exact same masking code paths (suite-runtime budget).
+    TINY_SCHEDULE = [
+        {
+            "num_keyframes": 1,
+            "iteration_schedule": [
+                {"num_iterations": 6, "freeze_poses": True, "freeze_sigma_mlp": False}
+            ],
+        },
+        {
+            "num_keyframes": -1,
+            "iteration_schedule": [
+                {"num_iterations": 6, "freeze_poses": False, "freeze_sigma_mlp": False}
+            ],
+        },
+    ]
+
     def test_anchored_pose_fixed(self):
         kfs, cube, _, _ = make_keyframes(2)
         opt = Optimizer(
@@ -206,7 +223,7 @@ class TestPoseRefinement:
             small_field_cfg(),
             cube.scale_factor,
             cube.shift,
-            SCHEDULE,
+            self.TINY_SCHEDULE,
             seed=2,
         )
         t0 = kfs[0].pose_twist().copy()
@@ -221,7 +238,7 @@ class TestPoseRefinement:
             small_field_cfg(),
             cube.scale_factor,
             cube.shift,
-            SCHEDULE,
+            self.TINY_SCHEDULE,
             use_gt_poses=True,
             seed=3,
         )
