@@ -129,9 +129,9 @@ class FieldConfig:
     # VMEM-resident, ops/pallas/fourier_mlp.py). "auto" uses it on TPU
     # (requires include_input=True), "xla" forces the pure-XLA path,
     # "pallas" forces the kernel (interpret mode off-TPU is debug-only).
-    # Default "xla": on the current toolchain XLA's fused MLP matches the
-    # hand kernel forward and beats it backward (see docs/PERFORMANCE.md).
-    sigma_kernel: str = "xla"
+    # Clean interleaved A/B at the 2.1M-point training batch: pallas
+    # fwd+bwd 41.3 ms vs XLA 56.4 ms (docs/PERFORMANCE.md).
+    sigma_kernel: str = "auto"
 
     @property
     def sigma_input_dim(self) -> int:
@@ -184,7 +184,7 @@ class FieldConfig:
                 nerf_cfg.get("sigma_mlp_bias", encoding == "fourier")
             ),
             compute_dtype=compute_dtype,
-            sigma_kernel=str(nerf_cfg.get("sigma_kernel", "xla")),
+            sigma_kernel=str(nerf_cfg.get("sigma_kernel", "auto")),
         )
 
 

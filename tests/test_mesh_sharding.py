@@ -1,0 +1,86 @@
+"""Multi-chip shard correctness: the sharded training step must compute
+the SAME result as the unsharded one.
+
+Runs on the 8-device virtual CPU mesh (conftest). Keyframe-window slots
+shard across devices; field/proposal/occ state is replicated and GSPMD
+all-reduces its gradients — numerically this must be a no-op vs one
+device (deterministic same-seed comparison, modulo float reduction
+order)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from loner_tpu.mapping.optimizer import OptimizerConfig, PhaseSettings, make_phase_runner
+from loner_tpu.mapping.rays import build_window_buffers
+from loner_tpu.models.field import FieldConfig, init_field_params
+from loner_tpu.models.hash_encoding import HashEncodingConfig
+from loner_tpu.models.occupancy_grid import init_occ_grid
+from loner_tpu.parallel.mesh import make_mesh, replicate, shard_window_buffers
+
+
+def _setup(w=8):
+    cfg = OptimizerConfig(
+        n_lidar_samples=32, n_sky_samples=0, n_samples_per_ray=16,
+        window_size=w, occ_voxel_size=8, ray_range=(0.5, 12.0),
+        point_chunk=0, steps_per_dispatch=3,
+    )
+    field_cfg = FieldConfig(
+        pos_encoding_sigma=HashEncodingConfig(n_levels=2, log2_hashmap_size=10),
+        pos_encoding_intensity=HashEncodingConfig(n_levels=2, log2_hashmap_size=10),
+    )
+    rng = np.random.default_rng(0)
+    dirs, deps = [], []
+    for _ in range(w):
+        d = rng.normal(size=(3, 256))
+        dirs.append((d / np.linalg.norm(d, axis=0)).astype(np.float32))
+        deps.append(rng.uniform(1.0, 10.0, 256).astype(np.float32))
+    buffers = build_window_buffers(dirs, deps, [None] * w, w)
+    phase = PhaseSettings(num_iterations=3)
+    runner = make_phase_runner(
+        cfg, field_cfg, phase, w, buffers.dirs.shape[1], buffers.sky_dirs.shape[1]
+    )
+    return field_cfg, buffers, runner, w
+
+
+def _run(runner, field_cfg, buffers, w, mesh=None):
+    params = init_field_params(jax.random.key(0), field_cfg)
+    occ = init_occ_grid(8)
+    twists = jnp.zeros((w, 6), jnp.float32)
+    pose_mask = jnp.ones((w,), jnp.float32)
+    if mesh is not None:
+        buffers = shard_window_buffers(buffers, mesh)
+        params = replicate(params, mesh)
+        occ = replicate(occ, mesh)
+        twists = replicate(twists, mesh)
+        pose_mask = replicate(pose_mask, mesh)
+        ctx = jax.set_mesh(mesh)
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        new_params, new_occ, new_twists, losses, _ = runner(
+            params, occ, twists, buffers, pose_mask,
+            jnp.asarray(12.0, jnp.float32), jnp.zeros(3, jnp.float32),
+            0, jax.random.key(1), num_iterations=3,
+        )
+    return (
+        np.asarray(losses),
+        np.asarray(new_twists),
+        jax.tree.map(np.asarray, new_params),
+    )
+
+
+def test_sharded_step_matches_single_device():
+    field_cfg, buffers, runner, w = _setup()
+    losses_1, twists_1, params_1 = _run(runner, field_cfg, buffers, w, mesh=None)
+    mesh = make_mesh(8)
+    losses_8, twists_8, params_8 = _run(runner, field_cfg, buffers, w, mesh=mesh)
+
+    np.testing.assert_allclose(losses_8, losses_1, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(twists_8, twists_1, rtol=2e-4, atol=1e-7)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-6),
+        params_1,
+        params_8,
+    )
