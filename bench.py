@@ -51,14 +51,14 @@ def main() -> None:
     cfg = OptimizerConfig(
         n_lidar_samples=n_rays, n_sky_samples=0, n_samples_per_ray=n_samples,
         window_size=w, ray_range=(1.0, 10.0), samples_strategy="PROPOSAL",
-        lr_sigma=0.005, steps_per_dispatch=10, prop_n_ctrl=129, point_chunk=0,
+        lr_sigma=0.005, steps_per_dispatch=10, prop_n_ctrl=65, point_chunk=0,
     )
     field_cfg = FieldConfig(
         encoding_sigma="fourier",
         fourier_sigma=FourierConfig(n_freqs=64, scale=6.0),
         sigma_mlp=MLPConfig(n_neurons=256, n_hidden_layers=4, output_dim=1),
         density_activation="softplus", sigma_mlp_bias=True,
-        compute_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16, sigma_kernel="xla",
         pos_encoding_intensity=HashEncodingConfig(log2_hashmap_size=19),
     )
     rng = np.random.default_rng(0)

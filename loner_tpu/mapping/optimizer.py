@@ -94,6 +94,11 @@ class OptimizerConfig:
     # the sample count, the grid-path default). 129 gives 128 lane-aligned
     # bins — plenty for the smooth MLP field at half the lookup cost.
     prop_n_ctrl: int = 0
+    # Stride over per-ray sample points for the proposal training term
+    # (1 = every point, 4 = every 4th). The margin targets are piecewise
+    # constant along the ray, so a strided subset carries the same
+    # training signal at 1/stride the eval cost.
+    prop_train_subsample: int = 4
     proposal: ProposalConfig = dc_field(default_factory=ProposalConfig)
     ray_range: Tuple[float, float] = (1.0, 10.0)
     window_size: int = 8
@@ -138,6 +143,7 @@ class OptimizerConfig:
             occ_update_every=int(occ.N_iters_acc),
             prop_lr=float(occ_d.get("prop_lr", 1e-3)),
             prop_n_ctrl=int(occ_d.get("prop_n_ctrl", 0)),
+            prop_train_subsample=int(occ_d.get("prop_train_subsample", 4)),
             proposal=ProposalConfig.from_settings(occ_d.get("proposal", {})),
             ray_range=tuple(float(x) for x in model_cfg.model.ray_range),
             encode_impl=str(dict(train).get("encode_impl", "vjp_bf16")),
@@ -280,12 +286,18 @@ def make_phase_runner(
             # gradient (optimizer.py:598-609, losses.py:54-62). The linear
             # loss mean(stop_grad(logits_grad) * logits) reproduces that
             # update direction through autodiff; it is zero-gradient for
-            # sigma/twists by construction.
-            logits_grad = get_logits_grad(aux["z_m"], aux["depths_gt_m"][:, None])
+            # sigma/twists by construction. Training on a strided subset of
+            # the sample points keeps the same signal density over a few
+            # iterations at a fraction of the cost (the reference's grid
+            # update runs only every N_iters_acc=10 iterations for the
+            # same reason).
+            sub = max(int(cfg.prop_train_subsample), 1)
+            z_sub = aux["z_m"][:, ::sub]
+            logits_grad = get_logits_grad(z_sub, aux["depths_gt_m"][:, None])
             logits_grad = logits_grad * aux["valid"][:, None]
             logits = proposal_logits(
                 opt_params["proposal"],
-                jax.lax.stop_gradient(aux["points"]),
+                jax.lax.stop_gradient(aux["points"][:, ::sub]),
             )
             prop_loss = jnp.mean(jax.lax.stop_gradient(logits_grad) * logits)
             loss = loss + prop_loss

@@ -129,8 +129,11 @@ class FieldConfig:
     # VMEM-resident, ops/pallas/fourier_mlp.py). "auto" uses it on TPU
     # (requires include_input=True), "xla" forces the pure-XLA path,
     # "pallas" forces the kernel (interpret mode off-TPU is debug-only).
-    # Clean interleaved A/B at the 2.1M-point training batch: pallas
-    # fwd+bwd 41.3 ms vs XLA 56.4 ms (docs/PERFORMANCE.md).
+    # Isolated A/B at the 2.1M-point training batch favors the kernel
+    # (fwd+bwd 41.3 vs 56.4 ms, docs/PERFORMANCE.md), but measured inside
+    # the FULL training step XLA wins (66.4 vs 73.3 ms/it) — its fusion
+    # with the surrounding sampler/compositing ops outweighs the isolated
+    # gap, so the flagship config pins sigma_kernel: xla.
     sigma_kernel: str = "auto"
 
     @property

@@ -30,6 +30,37 @@ def pack_rays(origins, dirs, near, far, viewdirs=None):
     )
 
 
+def _interval_lookup(cdf, bins, u, eps: float = 1e-5):
+    """Find the CDF interval containing each u and return the selected
+    per-sample ``(cdf_lo, denom, bin_lo, dbin)``, where ``denom`` is the
+    eps-guarded interval CDF width and ``dbin = bin_hi - bin_lo``.
+
+    cdf: (B, M) sorted edges with cdf[:, 0] == 0; bins: (B, M) bin-edge
+    positions; u: (B, Q) in [0, cdf[:, -1]]. Returns four (B, Q) arrays.
+
+    Per-sample random indexing (searchsorted + take_along_axis) lowers to
+    serialized loops on TPU, and a batched one-hot (Q, M) @ (M, F) matmul
+    wastes the MXU (a handful of output columns against 128-wide tiles).
+    Instead select with a masked reduction over the bin axis: the exact
+    one-hot indicator ``ge_lo & ~ge_hi`` (ge monotone along bins; the top
+    interval keeps u == cdf[:, -1]) is fused by XLA into one VPU loop —
+    the (B, Q, M) indicator is never materialized, and the single-nonzero
+    sum selects features exactly (no accumulated rounding)."""
+    ge = cdf[:, None, :] <= u[:, :, None]  # (B, Q, M) — fused, not stored
+    ind = ge[:, :, :-1] & ~jnp.concatenate(
+        [ge[:, :, 1:-1], jnp.zeros_like(ge[:, :, :1])], axis=-1
+    )  # (B, Q, M-1), exactly one True per (b, q)
+    denom = cdf[:, 1:] - cdf[:, :-1]  # (B, M-1)
+    denom = jnp.where(denom < eps, 1.0, denom)
+    feats = jnp.stack(
+        [cdf[:, :-1], denom, bins[:, :-1], bins[:, 1:] - bins[:, :-1]], axis=-1
+    )  # (B, M-1, 4)
+    sel = jnp.sum(
+        jnp.where(ind[..., None], feats[:, None], 0.0), axis=-2
+    )  # (B, Q, 4)
+    return sel[..., 0], sel[..., 1], sel[..., 2], sel[..., 3]
+
+
 def sample_pdf(
     key: jax.Array,
     bins: jax.Array,
@@ -55,33 +86,9 @@ def sample_pdf(
     else:
         u = jax.random.uniform(key, (n_rays, n_importance), dtype=cdf.dtype)
 
-    # Interval lookup WITHOUT gathers: per-sample random indexing
-    # (searchsorted + take_along_axis) lowers to serialized loops on TPU.
-    # Instead build the one-hot interval-membership indicator and contract
-    # it against the stacked [cdf_lo, cdf_hi, bin_lo, bin_hi] features —
-    # a batched (Q, M-1) @ (M-1, 4) matmul that rides the MXU. ge is
-    # monotone non-increasing along the bin axis (cdf is sorted), so the
-    # finite difference ge[j] - ge[j+1] is exactly the indicator of the
-    # interval containing u; u is clamped to cdf[-1] so the final interval
-    # absorbs top-edge rounding.
     u = jnp.minimum(u, cdf[:, -1:])
-    ge = (cdf[:, None, :] <= u[:, :, None]).astype(cdf.dtype)  # (B, Q, M)
-    ind = ge[:, :, :-1] - ge[:, :, 1:]  # (B, Q, M-1), one-hot
-    ind = ind.at[:, :, -1].add(ge[:, :, -1])
-    feats = jnp.stack(
-        [cdf[:, :-1], cdf[:, 1:], bins[:, :-1], bins[:, 1:]], axis=-1
-    )  # (B, M-1, 4)
-    sel = jnp.einsum(
-        "bqm,bmf->bqf", ind, feats, preferred_element_type=cdf.dtype,
-        precision=jax.lax.Precision.HIGHEST,  # exact one-hot selection
-    )
-    cdf_b, cdf_a, bins_b, bins_a = (
-        sel[..., 0], sel[..., 1], sel[..., 2], sel[..., 3]
-    )
-
-    denom = cdf_a - cdf_b
-    denom = jnp.where(denom < eps, 1.0, denom)
-    out = bins_b + (u - cdf_b) / denom * (bins_a - bins_b)
+    cdf_b, denom, bins_b, dbin = _interval_lookup(cdf, bins, u, eps)
+    out = bins_b + (u - cdf_b) / denom * dbin
     # Top edge: u at (or clamped to) the final CDF value maps to the last
     # bin edge — the searchsorted formulation's below==above overflow case.
     return jnp.where(u >= cdf[:, -1:], bins[:, -1:], out)
@@ -288,18 +295,8 @@ class ProposalRaySampler:
         # sampler's near/far-derived z values.
         cdf = jax.lax.stop_gradient(cdf)
         u = jnp.minimum(u, cdf[:, -1:])
-        ge = (cdf[:, None, :] <= u[:, :, None]).astype(cdf.dtype)
-        ind = ge[:, :, :-1] - ge[:, :, 1:]
-        ind = ind.at[:, :, -1].add(ge[:, :, -1])
-        feats = jnp.stack(
-            [cdf[:, :-1], cdf[:, 1:], z_ctrl[:, :-1], z_ctrl[:, 1:]], axis=-1
-        )
-        sel = jnp.einsum(
-            "bqm,bmf->bqf", ind, feats, preferred_element_type=cdf.dtype,
-            precision=jax.lax.Precision.HIGHEST,  # exact one-hot selection
-        )
-        denom = jnp.where(sel[..., 1] - sel[..., 0] < 1e-5, 1.0, sel[..., 1] - sel[..., 0])
-        return sel[..., 2] + (u - sel[..., 0]) / denom * (sel[..., 3] - sel[..., 2])
+        cdf_b, denom, z_b, dz = _interval_lookup(cdf, z_ctrl, u)
+        return z_b + (u - cdf_b) / denom * dz
 
 
 def make_sampler(occ_state):

@@ -17,3 +17,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
+
+# The suite is compile-dominated (hundreds of small jitted programs); the
+# on-disk compilation cache makes repeat runs hit warm executables.
+from loner_tpu.common.jax_setup import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(os.path.expanduser("~/.cache/jax_test_compilation"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
