@@ -89,6 +89,13 @@ def run_trial(
     )
     loner.start()
 
+    if settings.system.get("precompile", False) and len(reader) > 0:
+        # Compile everything before the clock starts: the runtime.txt
+        # real-time factor then measures steady-state SLAM, not XLA
+        # compiles (which a deployed system pays once, offline, via the
+        # persistent compilation cache).
+        loner.warm_up(len(reader.read_scan(0)))
+
     gt_offset = None
 
     start = time.time()
@@ -140,6 +147,11 @@ def main() -> None:
     parser.add_argument(
         "--cpu", action="store_true", help="force the CPU backend (debugging)"
     )
+    parser.add_argument(
+        "--precompile", action="store_true",
+        help="pre-compile all device programs before streaming "
+             "(system.precompile)",
+    )
     args = parser.parse_args()
 
     if args.cpu:
@@ -189,11 +201,15 @@ def main() -> None:
         else None
     )
 
+    precompile_changes = (
+        {"system": {"precompile": True}} if args.precompile else None
+    )
+
     options, descriptions = generate_options(
         args.config,
         args.overrides,
         args.run_all_combos,
-        augmentations=[seq_changes, lite_changes],
+        augmentations=[seq_changes, lite_changes, precompile_changes],
     )
 
     multi = len(options) > 1 or args.num_repeats > 1

@@ -98,6 +98,14 @@ class Mapper:
     def keyframe_manager(self) -> KeyFrameManager:
         return self._keyframe_manager
 
+    def warm_up(self, n_points: int) -> float:
+        """Pre-compile all reachable phase-runner programs (see
+        Optimizer.warm_up). Call before streaming starts; safe to skip
+        (the first keyframe then pays the compiles inline)."""
+        if not self._optimizer_enabled:
+            return 0.0
+        return self._optimizer.warm_up(n_points)
+
     def update(self) -> bool:
         tic = time.time()
         did_map_frame = False

@@ -582,6 +582,94 @@ class Optimizer:
             )
         return self._runner_cache[cache_key]
 
+    def warm_up(self, n_points: int) -> float:
+        """Pre-compile every phase runner the keyframe schedule can reach.
+
+        The reference pays its CUDA/autograd warm-up implicitly on the
+        first keyframe; under XLA the first dispatch of each distinct
+        phase program costs a full compile (~20-60 s on chip), which
+        would stall the tracker->mapper pipeline at startup. Calling this
+        before streaming moves every compile out of the real-time path.
+
+        ``n_points`` is the per-scan point count; buffers are pow2-padded
+        (rays.build_window_buffers), so any count in the same pow2 bucket
+        as the real scans hits the same compiled programs. A mismatched
+        bucket only wastes a compile — it never breaks correctness.
+
+        Runs each program once on dummy state (the runners donate their
+        inputs, so the live MapState is never passed). Returns the
+        wall-clock seconds spent.
+        """
+        t0 = time.time()
+        w = self._cfg.window_size
+        rng = np.random.default_rng(0)
+        d = rng.normal(size=(3, max(int(n_points), 1))).astype(np.float32)
+        d /= np.linalg.norm(d, axis=0, keepdims=True) + 1e-9
+        lo, hi = sorted(self._cfg.ray_range)
+        depths = rng.uniform(lo + 0.1, hi - 0.1, d.shape[1]).astype(np.float32)
+        buffers = build_window_buffers([d], [depths], [None], w)
+        p = buffers.dirs.shape[1]
+        ps = buffers.sky_dirs.shape[1]
+        k = (
+            max(int(self._cfg.steps_per_dispatch), 1)
+            if self._extras_mode != "full"
+            else 1
+        )
+
+        def dummy_state():
+            key = jax.random.key(17)
+            k_field, k_prop = jax.random.split(key)
+            if self._cfg.samples_strategy == "OGM":
+                sampler = init_occ_grid(self._cfg.occ_voxel_size)
+            elif self._cfg.samples_strategy == "PROPOSAL":
+                sampler = init_proposal_params(k_prop, self._cfg.proposal)
+            else:
+                sampler = jnp.zeros((1, 1, 1), jnp.float32)
+            return init_field_params(k_field, self._field_cfg), sampler
+
+        seen = set()
+        for item in self._keyframe_schedule:
+            phases = [
+                PhaseSettings.from_dict(ph) for ph in item["iteration_schedule"]
+            ]
+            if len(phases) > 1 and self._skip_pose_refinement:
+                phases = phases[1:]
+            for phase in phases:
+                freeze = (
+                    phase.freeze_poses or self._freeze_poses or self._use_gt_poses
+                )
+                eff_phase = replace(phase, freeze_poses=freeze)
+                cache_key = (
+                    replace(eff_phase, num_iterations=0), w, p, ps,
+                    self._extras_mode,
+                )
+                if cache_key in seen:
+                    continue
+                seen.add(cache_key)
+                # Compile exactly the programs this phase dispatches at
+                # runtime: the k-fused scan, plus the single-step
+                # remainder when the iteration count doesn't divide by k.
+                n = int(phase.num_iterations)
+                warm_iters = (k if (k > 1 and n >= k) else 0) + (
+                    1 if (k == 1 or n % k != 0) else 0
+                )
+                field_params, sampler = dummy_state()
+                runner = self._get_runner(eff_phase, w, p, ps)
+                out = runner(
+                    field_params,
+                    sampler,
+                    jnp.zeros((w, 6), jnp.float32),
+                    buffers,
+                    jnp.ones((w,), jnp.float32),
+                    self._world_scale,
+                    self._world_shift,
+                    0,
+                    jax.random.key(3),
+                    num_iterations=warm_iters,
+                )
+                np.asarray(out[3])  # block until the compiles complete
+        return time.time() - t0
+
     # -- main entry ------------------------------------------------------------
     def iterate_optimizer(self, window: List["KeyFrame"]) -> float:
         """Run the full iteration schedule on a keyframe window.

@@ -166,6 +166,24 @@ class Loner:
             self._tracking_thread.start()
             self._mapping_thread.start()
 
+    def warm_up(self, n_points: int) -> None:
+        """Pre-compile the tracking (ICP) and mapping (phase runner)
+        device programs before any data streams in.
+
+        Under XLA every distinct program pays a one-time compile
+        (~20-60 s each on the TPU); without warm-up those compiles land
+        inside the real-time loop and stall the first keyframes (the
+        reference has no analog — CUDA kernels are precompiled). Call
+        between start() and the first process_lidar with the per-scan
+        point count (pow2 bucket is what matters; see
+        Optimizer.warm_up)."""
+        if self._tracker is None or self._mapper is None:
+            raise RuntimeError("warm_up must be called after start()")
+        t_track = self._tracker.warm_up()
+        t_map = self._mapper.warm_up(n_points)
+        print(f"Warm-up: tracker compiled in {t_track:.1f}s, "
+              f"mapper in {t_map:.1f}s")
+
     def stop(self) -> None:
         if not self._single_threaded:
             print("Stopping LONER-TPU SLAM workers")

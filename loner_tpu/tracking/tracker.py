@@ -71,6 +71,26 @@ class Tracker:
             self._settings.icp.downsample.get("target_uniform_point_count", 5000)
         )
 
+    # -- warm-up -------------------------------------------------------------
+    def warm_up(self) -> float:
+        """Pre-compile the ICP stack (kNN normals + every schedule stage)
+        on dummy clouds at the configured pad size, so the first real
+        frame doesn't pay XLA compiles inside the tracking loop. Returns
+        wall-clock seconds spent."""
+        t0 = time.time()
+        rng = np.random.default_rng(0)
+        cloud = rng.uniform(-5.0, 5.0, (self._icp_pad, 3)).astype(np.float32)
+        target = cloud + rng.normal(0, 0.01, cloud.shape).astype(np.float32)
+        init = np.eye(4) if self._use_velocity_init else None
+        run_icp_schedule(
+            cloud,
+            target,
+            [dict(s) for s in self._settings.icp.schedule],
+            pad_size=self._icp_pad,
+            init=init,
+        )
+        return time.time() - t0
+
     # -- pipeline ------------------------------------------------------------
     def update(self) -> bool:
         tic = time.time()

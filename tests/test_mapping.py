@@ -375,3 +375,52 @@ class TestMaskRayStrategy:
         )
         with pytest.raises(RuntimeError, match="rays_selection"):
             OptimizerConfig.from_settings(s, model_cfg)
+
+
+class TestWarmUp:
+    """Optimizer.warm_up pre-compiles every reachable phase runner."""
+
+    def test_warm_up_fills_runner_cache(self):
+        scans, poses, ts, scene, lidar = generate_sequence(
+            num_scans=3,
+            lidar=VirtualLidar(num_channels=16, num_columns=128, max_range=30.0),
+            rate_hz=2.0,
+        )
+        gt_zeroed = np.linalg.inv(poses[0])[None] @ poses
+        cube = compute_world_cube(None, None, None, gt_zeroed, list(RAY_RANGE))
+        opt = Optimizer(
+            small_opt_cfg(steps_per_dispatch=4),
+            small_field_cfg(),
+            cube.scale_factor,
+            cube.shift,
+            [
+                {
+                    "num_keyframes": 1,
+                    "iteration_schedule": [
+                        {"num_iterations": 6, "freeze_poses": True,
+                         "freeze_sigma_mlp": False}
+                    ],
+                },
+                {
+                    "num_keyframes": -1,
+                    "iteration_schedule": [
+                        {"num_iterations": 6, "freeze_poses": False,
+                         "freeze_sigma_mlp": False}
+                    ],
+                },
+            ],
+            seed=3,
+        )
+        n_points = scans[0].ray_directions.shape[1]
+        dt = opt.warm_up(n_points)
+        assert dt > 0
+        # Two distinct phases (freeze_poses True/False) -> two runners.
+        assert len(opt._runner_cache) == 2
+        # A real window at the same point count reuses the cache (no new
+        # runner keys -> no new compiles).
+        frame = Frame(lidar_points=scans[0])
+        frame._lidar_pose = Pose(gt_zeroed[0])
+        frame._gt_lidar_pose = Pose(gt_zeroed[0])
+        kf = KeyFrame(frame)
+        opt.iterate_optimizer([kf])
+        assert len(opt._runner_cache) == 2
