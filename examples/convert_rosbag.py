@@ -23,7 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from loner_tpu.datasets.scan_stream import ScanStreamWriter, normalize_timestamps
+from loner_tpu.datasets.scan_stream import (
+    ScanStreamWriter,
+    normalize_timestamps,
+    recompute_scan_timestamps,
+)
 from loner_tpu.common.sensors import LidarScan
 from loner_tpu.ops.native import decode_point_blob
 
@@ -61,6 +65,11 @@ def main() -> None:
     parser.add_argument(
         "--timestamps_relative_to_start", action="store_true", default=True
     )
+    parser.add_argument(
+        "--recompute_timestamps", action="store_true",
+        help="rebuild per-point times from column index (Fusion Portable "
+             "fix, reference run_loner.py:103-108)",
+    )
     args = parser.parse_args()
 
     from loner_tpu.datasets.rosbag_reader import Bag
@@ -82,6 +91,11 @@ def main() -> None:
                 continue
             scan_time = msg.header.stamp.to_sec()
             ox, oy, oz, t_off, t_kind = field_layout(msg)
+            if args.recompute_timestamps:
+                # Column-derived time fix: decode in index mode (times
+                # carry each kept point's PRE-filter index, matching the
+                # reference's full-array indexing, run_loner.py:103-108).
+                t_off, t_kind = 0, 3
             dirs, ranges, times = decode_point_blob(
                 bytes(msg.data),
                 msg.width * msg.height,
@@ -91,6 +105,8 @@ def main() -> None:
                 time_kind=t_kind,
                 min_range=args.min_range,
             )
+            if args.recompute_timestamps:
+                times = recompute_scan_timestamps(times)
             times = normalize_timestamps(
                 times, scan_time, args.timestamps_relative_to_start
             )

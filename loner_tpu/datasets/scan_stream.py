@@ -34,24 +34,47 @@ def normalize_timestamps(
     scan_time: float,
     relative_to_start: bool = True,
 ) -> np.ndarray:
-    """Apply the reference's timestamp heuristics to per-point stamps.
+    """Apply the reference's per-point timestamp heuristics
+    (examples/run_loner.py:113-147), in the same order:
 
-    - stamps that look like nanoseconds (> 1e11 relative spread or absolute
-      magnitude) are scaled to seconds
-    - stamps relative to scan start are shifted by ``scan_time``
-    - output is float64 seconds, globally referenced
+    1. |ts| > 1e7 -> stamps are nanoseconds, scale to seconds
+    2. ts[0] < -1e-3 -> negative offsets (velodyne), rebase to ts[0]
+    3. ts[0] < 1e-2 -> scan-local offsets, shift by the scan header time;
+       otherwise stamps are global, re-anchor to the header time
+    4. spread < 1e-3 -> stamps are degenerate (no real per-point time);
+       fill with the header time (motion compensation becomes a no-op)
+
+    Output is float64 seconds, globally referenced. ``relative_to_start``
+    keeps step 3's local-offset branch available even when stamps are
+    slightly above the 1e-2 threshold (some converters emit mid-scan
+    starts); the default True matches the reference CLI.
     """
     ts = np.asarray(timestamps, dtype=np.float64)
     if ts.size == 0:
         return ts
-    if np.abs(ts).max() > 1e14:  # absolute nanoseconds
+    if np.abs(ts).max() > 1e7:  # nanoseconds (reference run_loner.py:121)
         ts = ts * 1e-9
-    elif ts.max() - ts.min() > 1e6:  # relative nanoseconds
-        ts = ts * 1e-9
-    if relative_to_start or ts.max() < 1e5:
-        if ts.min() < 1e5:  # per-scan-local stamps
-            ts = ts + scan_time
+    if ts[0] < -1e-3:  # velodyne negative offsets (run_loner.py:126)
+        ts = ts - ts[0]
+    if ts[0] < 1e-2 and (relative_to_start or ts.max() < 1e5):
+        ts = ts + scan_time  # scan-local (run_loner.py:131-133)
+    elif ts.max() > 1e5:
+        ts = ts - ts[0] + scan_time  # global (run_loner.py:134-137)
+    if ts.size > 1 and ts.max() - ts.min() < 1e-3:
+        # Degenerate stamps: no usable per-point time (run_loner.py:141-146)
+        ts = np.full_like(ts, scan_time)
     return ts
+
+
+def recompute_scan_timestamps(
+    point_indices: np.ndarray, h_resolution: int = 2048, scan_period: float = 0.1
+) -> np.ndarray:
+    """Fusion Portable timestamp fix (reference run_loner.py:103-108):
+    reconstruct per-point scan-local times from each point's pre-filter
+    column index (``point_indices``) for bags whose stored stamps are
+    wrong."""
+    idx = np.asarray(point_indices, dtype=np.float64)
+    return (idx % h_resolution) / h_resolution * scan_period
 
 
 class ScanStreamWriter:

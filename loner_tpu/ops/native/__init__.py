@@ -66,6 +66,7 @@ def decode_point_blob(
     """PointCloud2-style blob -> (dirs (3, M), ranges (M,), times (M,)).
 
     time_kind: 0 = f32 seconds, 1 = f64 seconds, 2 = u32 nanoseconds,
+    3 = pre-filter point index (for column-derived time recompute),
     -1 = no per-point time (times are zeros).
     """
     lib = _get_lib()
@@ -103,6 +104,8 @@ def decode_point_blob(
         t = rec[:, time_offset : time_offset + 8].copy().view(np.float64)[:, 0]
     elif time_kind == 2:
         t = rec[:, time_offset : time_offset + 4].copy().view(np.uint32)[:, 0] * 1e-9
+    elif time_kind == 3:
+        t = np.arange(n_points, dtype=np.float64)
     else:
         t = np.zeros(n_points)
     keep = np.isfinite(r) & (r > min_range)

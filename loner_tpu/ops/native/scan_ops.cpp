@@ -61,6 +61,10 @@ int64_t decode_point_blob(
       uint32_t tn;
       std::memcpy(&tn, rec + ot, 4);
       t = tn * 1e-9;
+    } else if (t_kind == 3) {
+      // Index mode: emit the pre-filter point index so callers can
+      // reconstruct column-derived times after range filtering.
+      t = static_cast<double>(i);
     }
     times_out[m] = t;
     ++m;

@@ -183,3 +183,27 @@ class TestScanStream:
         ts = np.array([0.0, 0.05, 0.1])
         out = normalize_timestamps(ts, scan_time=1000.0)
         np.testing.assert_allclose(out, [1000.0, 1000.05, 1000.1])
+        # velodyne negative offsets rebase to the first stamp
+        # (reference run_loner.py:126-128)
+        ts = np.array([-0.05, 0.0, 0.05])
+        out = normalize_timestamps(ts, scan_time=1000.0)
+        np.testing.assert_allclose(out, [1000.0, 1000.05, 1000.1])
+        # global stamps re-anchor to the header time (run_loner.py:134-137)
+        ts = np.array([5.0e5, 5.0e5 + 0.05])
+        out = normalize_timestamps(ts, scan_time=1000.0)
+        np.testing.assert_allclose(out, [1000.0, 1000.05])
+        # degenerate stamps collapse to the header time (run_loner.py:141-146)
+        ts = np.array([0.02, 0.02, 0.0201])
+        out = normalize_timestamps(ts, scan_time=1000.0)
+        np.testing.assert_allclose(out, [1000.0, 1000.0, 1000.0])
+
+    def test_recompute_scan_timestamps_uses_prefilter_index(self):
+        from loner_tpu.datasets.scan_stream import recompute_scan_timestamps
+
+        # Points 0..4095 with point 1 range-filtered out: the remaining
+        # points keep their original column-derived times.
+        kept = np.array([0, 2, 3, 2048])
+        out = recompute_scan_timestamps(kept, h_resolution=2048, scan_period=0.1)
+        np.testing.assert_allclose(
+            out, [0.0, 2 / 2048 * 0.1, 3 / 2048 * 0.1, 0.0]
+        )
