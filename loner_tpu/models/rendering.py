@@ -41,24 +41,28 @@ def _interval_lookup(cdf, bins, u, eps: float = 1e-5):
     Per-sample random indexing (searchsorted + take_along_axis) lowers to
     serialized loops on TPU, and a batched one-hot (Q, M) @ (M, F) matmul
     wastes the MXU (a handful of output columns against 128-wide tiles).
-    Instead select with a masked reduction over the bin axis: the exact
-    one-hot indicator ``ge_lo & ~ge_hi`` (ge monotone along bins; the top
-    interval keeps u == cdf[:, -1]) is fused by XLA into one VPU loop —
-    the (B, Q, M) indicator is never materialized, and the single-nonzero
-    sum selects features exactly (no accumulated rounding)."""
+    Instead select each edge with a masked REDUCTION over the bin axis:
+    cdf and bins are ascending, so the interval's low edge is the max
+    edge with ``cdf_m <= u`` and the high edge is the min edge with
+    ``cdf_m > u``. XLA fuses broadcast-compare-select-reduce into one
+    streaming VPU loop — the (B, Q, M) mask is never materialized (an
+    earlier concat-based one-hot formulation forced an 8 GB pred temp at
+    test-render scale: 16384 rays x 1024 samples x 511 bins).
+
+    At the top edge (u == cdf[:, -1]) no edge is strictly greater, the
+    high-edge reductions return +inf, and the caller's
+    ``where(u >= cdf[:, -1:], bins[:, -1:], out)`` guard must resolve it
+    (both callers do)."""
     ge = cdf[:, None, :] <= u[:, :, None]  # (B, Q, M) — fused, not stored
-    ind = ge[:, :, :-1] & ~jnp.concatenate(
-        [ge[:, :, 1:-1], jnp.zeros_like(ge[:, :, :1])], axis=-1
-    )  # (B, Q, M-1), exactly one True per (b, q)
-    denom = cdf[:, 1:] - cdf[:, :-1]  # (B, M-1)
+    cdf_b = cdf[:, None, :]
+    bins_b = bins[:, None, :]
+    cdf_lo = jnp.max(jnp.where(ge, cdf_b, -jnp.inf), axis=-1)
+    bin_lo = jnp.max(jnp.where(ge, bins_b, -jnp.inf), axis=-1)
+    cdf_hi = jnp.min(jnp.where(ge, jnp.inf, cdf_b), axis=-1)
+    bin_hi = jnp.min(jnp.where(ge, jnp.inf, bins_b), axis=-1)
+    denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < eps, 1.0, denom)
-    feats = jnp.stack(
-        [cdf[:, :-1], denom, bins[:, :-1], bins[:, 1:] - bins[:, :-1]], axis=-1
-    )  # (B, M-1, 4)
-    sel = jnp.sum(
-        jnp.where(ind[..., None], feats[:, None], 0.0), axis=-2
-    )  # (B, Q, 4)
-    return sel[..., 0], sel[..., 1], sel[..., 2], sel[..., 3]
+    return cdf_lo, denom, bin_lo, bin_hi - bin_lo
 
 
 def sample_pdf(
@@ -296,7 +300,10 @@ class ProposalRaySampler:
         cdf = jax.lax.stop_gradient(cdf)
         u = jnp.minimum(u, cdf[:, -1:])
         cdf_b, denom, z_b, dz = _interval_lookup(cdf, z_ctrl, u)
-        return z_b + (u - cdf_b) / denom * dz
+        out = z_b + (u - cdf_b) / denom * dz
+        # Top edge: u clamped onto the final CDF value has no strictly
+        # greater edge (_interval_lookup returns +inf there).
+        return jnp.where(u >= cdf[:, -1:], z_ctrl[:, -1:], out)
 
 
 def make_sampler(occ_state):
