@@ -22,23 +22,17 @@ from loner_tpu.tracking.icp import run_icp_schedule
 
 
 def _nn_dists(query: np.ndarray, ref: np.ndarray, chunk: int = 4096) -> np.ndarray:
-    """For each query point, distance to the nearest ref point (meters)."""
-    ref_j = jnp.asarray(ref, jnp.float32)
-    ref2 = jnp.sum(ref_j * ref_j, axis=-1)
+    """For each query point, distance to the nearest ref point (meters).
 
-    @jax.jit
-    def block(q):
-        q2 = jnp.sum(q * q, axis=-1, keepdims=True)
-        d2 = q2 + ref2[None, :] - 2.0 * jnp.dot(q, ref_j.T, preferred_element_type=jnp.float32)
-        return jnp.sqrt(jnp.maximum(d2.min(axis=-1), 0.0))
+    KD-tree on the host: map-scale clouds (hundreds of thousands of
+    points) make the O(N*M) device distance matrix — ~100 dispatches of
+    4096 x M matmuls over the tunnel — slower than a single cKDTree
+    build+query, and this tool often runs on CPU-only hosts anyway."""
+    from scipy.spatial import cKDTree
 
-    out = []
-    n = query.shape[0]
-    pad = (-n) % chunk
-    padded = np.concatenate([query, np.repeat(query[:1], pad, 0)], 0) if pad else query
-    for i in range(0, padded.shape[0], chunk):
-        out.append(np.asarray(block(jnp.asarray(padded[i : i + chunk], jnp.float32))))
-    return np.concatenate(out)[:n]
+    tree = cKDTree(np.asarray(ref, np.float64))
+    d, _ = tree.query(np.asarray(query, np.float64), k=1)
+    return d.astype(np.float64)
 
 
 def evaluate_lidar_map(

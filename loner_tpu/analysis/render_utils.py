@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
 import jax
@@ -21,11 +21,7 @@ from loner_tpu.common.settings import Settings
 from loner_tpu.common.world_cube import WorldCube
 from loner_tpu.mapping.rays import get_far_val
 from loner_tpu.models.field import FieldConfig
-from loner_tpu.models.rendering import (
-    make_sampler,
-    pack_rays,
-    render_rays,
-)
+from loner_tpu.models.rendering import pack_rays
 
 
 @dataclass
@@ -37,6 +33,9 @@ class LoadedModel:
     settings: Settings
     poses: list  # keyframe pose states
     global_step: int
+    # jitted chunk-renderer executables, keyed by render options
+    # (see analysis._render_impl.get_chunk_renderer)
+    render_cache: dict = field(default_factory=dict, repr=False)
 
 
 def load_experiment(log_dir: str, ckpt_name: str = "final.tar") -> LoadedModel:
@@ -82,7 +81,7 @@ def render_depth_chunked(
     dirs_world: np.ndarray,  # (N, 3) unit
     ray_range: Tuple[float, float],
     n_samples: int = 2048,
-    chunk: int = 16384,
+    chunk: int = 2048,
     ret_var: bool = True,
     use_occ: bool = True,
 ) -> dict:
@@ -91,42 +90,43 @@ def render_depth_chunked(
     Chunked like the reference's test-time path (model_tcnn.py:82-99 with
     N_samples_test=2048); deterministic (no perturb/noise).
     """
+    from loner_tpu.analysis._render_impl import get_chunk_renderer
+
     cube = model.world_cube
     n = origins_world.shape[0]
-    sampler = make_sampler(model.occ_grid if use_occ else None)
+    render_chunk = get_chunk_renderer(model, n_samples, ret_var, use_occ)
+    occ = model.occ_grid if use_occ else None
+
+    # Pad to a whole number of chunks so every dispatch shares ONE
+    # compiled program (a ragged tail would compile a second one).
+    n_padded = ((n + chunk - 1) // chunk) * chunk
+    o_all = np.concatenate(
+        [origins_world, np.repeat(origins_world[:1], n_padded - n, axis=0)]
+    )
+    d_all = np.concatenate(
+        [dirs_world, np.repeat(dirs_world[:1], n_padded - n, axis=0)]
+    )
 
     depths, variances, opacities = [], [], []
-    for i in range(0, n, chunk):
-        o = origins_world[i : i + chunk]
-        d = dirs_world[i : i + chunk]
+    for i in range(0, n_padded, chunk):
+        o = o_all[i : i + chunk]
+        d = d_all[i : i + chunk]
         o_cube = jnp.asarray(cube.to_cube(o), jnp.float32)
         d_cube = jnp.asarray(d, jnp.float32)
         near = jnp.full((o.shape[0],), ray_range[0] / cube.scale_factor, jnp.float32)
         far_clip = get_far_val(o_cube, d_cube)
         far = jnp.minimum(ray_range[1] / cube.scale_factor, far_clip)
         rays = pack_rays(o_cube, d_cube, near, far)
-        out = render_rays(
-            None,
-            rays,
-            model.field_params,
-            model.field_cfg,
-            sampler,
-            n_samples=n_samples,
-            perturb=0.0,
-            sigma_only=True,
-            occ_grid=model.occ_grid if use_occ else None,
-            ret_var=ret_var,
-            point_chunk=0,
-        )
+        out = render_chunk(rays, model.field_params, occ)
         depths.append(np.asarray(out["depth"]) * cube.scale_factor)
         opacities.append(np.asarray(out["opacity"]))
         if ret_var:
             variances.append(np.asarray(out["variance"]) * cube.scale_factor ** 2)
 
     result = {
-        "depth": np.concatenate(depths),
-        "opacity": np.concatenate(opacities),
+        "depth": np.concatenate(depths)[:n],
+        "opacity": np.concatenate(opacities)[:n],
     }
     if ret_var:
-        result["variance"] = np.concatenate(variances)
+        result["variance"] = np.concatenate(variances)[:n]
     return result

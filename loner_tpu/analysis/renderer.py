@@ -59,7 +59,7 @@ def render_dataset_frame(
     image_shape: Tuple[int, int],
     ray_range: Optional[Tuple[float, float]] = None,
     n_samples: int = 2048,
-    chunk: int = 16384,
+    chunk: int = 2048,
 ) -> dict:
     """Render one frame; returns {'depth': (H, W), 'variance': (H, W)}."""
     if ray_range is None:

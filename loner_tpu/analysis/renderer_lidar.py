@@ -47,7 +47,7 @@ def render_scan(
     n_samples: int = 1024,
     var_threshold: Optional[float] = 1.0,
     max_range_frac: float = 0.95,
-    chunk: int = 16384,
+    chunk: int = 2048,
 ) -> np.ndarray:
     """Render one virtual scan; returns (M, 3) world-frame points after
     variance/range filtering (reference renderer_lidar.py:71-93)."""

@@ -20,6 +20,13 @@ class KeyFrame:
     def __init__(self, frame: Frame) -> None:
         self._frame = frame
         self._tracked_lidar_pose: Pose = frame.get_lidar_pose().clone()
+        # The OPTIMIZED pose is keyframe-owned state. The tracker, logger
+        # and mapper share the same Frame object across threads (the
+        # reference's mp queues pickle-copy instead, src/loner.py:96-117),
+        # so writing optimized poses back into the Frame would race the
+        # logger's tracked-trajectory recording — observed as one-frame
+        # ~0.1-0.3 m pose spikes at exactly the keyframe timestamps.
+        self._lidar_pose: Pose = self._tracked_lidar_pose.clone()
         self.is_anchored = False
 
     def __repr__(self) -> str:
@@ -27,10 +34,10 @@ class KeyFrame:
 
     # -- accessors -------------------------------------------------------------
     def get_lidar_pose(self) -> Pose:
-        return self._frame.get_lidar_pose()
+        return self._lidar_pose
 
     def set_lidar_pose(self, pose: Pose) -> None:
-        self._frame._lidar_pose = pose
+        self._lidar_pose = pose
 
     def get_camera_pose(self) -> Optional[Pose]:
         return self._frame.get_camera_pose()
@@ -73,11 +80,11 @@ class KeyFrame:
         return self._frame.lidar_points.sky_rays
 
     def pose_twist(self, use_gt: bool = False) -> np.ndarray:
-        pose = self._frame._gt_lidar_pose if use_gt else self._frame.get_lidar_pose()
+        pose = self._frame._gt_lidar_pose if use_gt else self._lidar_pose
         return pose.to_twist().astype(np.float32)
 
     def set_pose_twist(self, twist: np.ndarray) -> None:
-        self._frame._lidar_pose = Pose.from_twist(np.asarray(twist, np.float64))
+        self._lidar_pose = Pose.from_twist(np.asarray(twist, np.float64))
 
     # -- checkpoint schema (reference keyframe.py:126-135) --------------------
     def get_pose_state(self) -> dict:

@@ -74,7 +74,9 @@ class KeyFrameManager:
                 # (reference keyframe_manager.py:92-101)
                 ref = self._keyframes[-1]
                 t_track = ref._tracked_lidar_pose.inv() * new_keyframe._tracked_lidar_pose
-                new_keyframe._frame._lidar_pose = ref.get_lidar_pose() * t_track
+                # Keyframe-owned pose: never write into the shared Frame
+                # (the logger still reads its tracked pose).
+                new_keyframe.set_lidar_pose(ref.get_lidar_pose() * t_track)
             self._keyframes.append(new_keyframe)
 
         if self._kf_strategy == KeyFrameSelectionStrategy.HYBRID:

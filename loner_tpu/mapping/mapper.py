@@ -119,6 +119,12 @@ class Mapper:
                 return True
 
             if self._settings.debug.get("use_groundtruth_poses", False):
+                # Shallow-copy so the GT substitution never mutates the
+                # Frame shared with the logger thread (scans are shared
+                # read-only; only the pose slot is replaced).
+                import copy
+
+                new_frame = copy.copy(new_frame)
                 new_frame._lidar_pose = new_frame._gt_lidar_pose
 
             new_keyframe = self._keyframe_manager.process_frame(new_frame)

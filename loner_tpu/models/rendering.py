@@ -306,13 +306,18 @@ class ProposalRaySampler:
         return jnp.where(u >= cdf[:, -1:], z_ctrl[:, -1:], out)
 
 
-def make_sampler(occ_state):
+def make_sampler(occ_state, n_ctrl: Optional[int] = None):
     """Pick the sampler matching an occupancy-slot state: None -> uniform,
-    pytree (dict) -> proposal MLP, array -> occupancy grid."""
+    pytree (dict) -> proposal MLP, array -> occupancy grid.
+
+    ``n_ctrl`` carries the proposal control-grid resolution the model was
+    TRAINED with; leaving it None at test time would silently default to
+    n_samples // 2 (1024 control points at N_samples_test=2048 — a 16x
+    costlier lookup than the trained 65, for no quality gain)."""
     if occ_state is None:
         return UniformRaySampler()
     if isinstance(occ_state, dict):
-        return ProposalRaySampler()
+        return ProposalRaySampler(n_ctrl=n_ctrl)
     return OccGridRaySampler()
 
 
