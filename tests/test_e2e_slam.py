@@ -185,4 +185,8 @@ class TestEndToEnd:
             n_samples=128,
         )
         assert os.path.exists(os.path.join(slam_run, "metrics", "l1.yaml"))
+        # Regression threshold at fixture scale (minimal iteration budget;
+        # a few occlusion outlier rays dominate the mean — observed ~2.7).
+        # The credible L1 record is the on-chip drive artifact
+        # (outputs/tpu_drive_r2b/metrics/l1.yaml, docs/TPU_NATIVE.md).
         assert res["mean"] < 3.0, res
