@@ -25,11 +25,7 @@ from loner_tpu.analysis.render_utils import (
 )
 from loner_tpu.analysis.renderer_lidar import build_lidar_ray_directions
 from loner_tpu.mapping.rays import get_far_val
-from loner_tpu.models.rendering import (
-    make_sampler,
-    pack_rays,
-    render_rays,
-)
+from loner_tpu.models.rendering import pack_rays
 
 
 @jax.jit
@@ -57,8 +53,13 @@ def build_weight_grid(
     num_columns: int = 512,
     chunk: int = 8192,
 ) -> np.ndarray:
+    from loner_tpu.analysis._render_impl import get_chunk_renderer
+
     cube = model.world_cube
-    sampler = make_sampler(model.occ_grid)
+    # One jitted render program shared across poses/chunks (an eager
+    # render at these shapes materializes every sampler intermediate —
+    # the same multi-GB failure render_depth_chunked hit).
+    render_chunk = get_chunk_renderer(model, n_samples, ret_var=False, use_occ=True)
     dirs_sensor = build_lidar_ray_directions(num_channels, num_columns)
     grid = jnp.zeros((resolution,) * 3, jnp.float32)
 
@@ -71,11 +72,7 @@ def build_weight_grid(
             near = jnp.full((d.shape[0],), ray_range[0] / cube.scale_factor, jnp.float32)
             far = jnp.minimum(ray_range[1] / cube.scale_factor, get_far_val(o, d))
             rays = pack_rays(o, d, near, far)
-            out = render_rays(
-                None, rays, model.field_params, model.field_cfg, sampler,
-                n_samples=n_samples, perturb=0.0, sigma_only=True,
-                occ_grid=model.occ_grid, point_chunk=0,
-            )
+            out = render_chunk(rays, model.field_params, model.occ_grid)
             grid = _splat_weights_max(
                 grid,
                 out["points"].reshape(-1, 3),
