@@ -56,7 +56,7 @@ def tiny_settings(log_prefix: str) -> Settings:
                             "num_keyframes": 1,
                             "iteration_schedule": [
                                 {
-                                    "num_iterations": 100,
+                                    "num_iterations": 70,
                                     "freeze_poses": True,
                                     "freeze_sigma_mlp": False,
                                     "freeze_rgb_mlp": True,
