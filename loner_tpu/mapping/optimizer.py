@@ -33,7 +33,12 @@ import numpy as np
 import optax
 
 from loner_tpu.mapping.loss import LossConfig, compute_lidar_loss
-from loner_tpu.mapping.rays import WindowBuffers, build_window_buffers, sample_and_build_rays
+from loner_tpu.mapping.rays import (
+    DeviceScanPool,
+    WindowBuffers,
+    build_window_buffers,
+    sample_and_build_rays,
+)
 from loner_tpu.models.field import FieldConfig, init_field_params
 from loner_tpu.models.occupancy_grid import init_occ_grid, occ_grid_update
 from loner_tpu.models.losses import get_logits_grad
@@ -552,6 +557,7 @@ class Optimizer:
         )
         self._keyframe_count = 0
         self._runner_cache: Dict[tuple, Any] = {}
+        self._scan_pool = DeviceScanPool()
         self.last_losses: Optional[np.ndarray] = None
         self.last_depth_eps: Optional[np.ndarray] = None
 
@@ -689,12 +695,9 @@ class Optimizer:
 
         w = self._cfg.window_size
         use_mask = self._cfg.rays_strategy == "MASK"
-        buffers = build_window_buffers(
-            [kf.scan_dirs(use_mask) for kf in window],
-            [kf.scan_depths(use_mask) for kf in window],
-            [kf.sky_dirs() for kf in window],
-            w,
-        )
+        # Device scan pool: each keyframe's scan uploads once; the window
+        # assembles on device (vs re-shipping all 8 slots every KF).
+        buffers = self._scan_pool.build_window(window, w, use_mask)
         p = buffers.dirs.shape[1]
         ps = buffers.sky_dirs.shape[1]
 

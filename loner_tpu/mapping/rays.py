@@ -112,6 +112,96 @@ def build_window_buffers(
     )
 
 
+class DeviceScanPool:
+    """Per-keyframe scan store resident in HBM.
+
+    The host window builder re-ships the whole 8-slot window (several MB)
+    over the host->device link on EVERY keyframe optimization, although
+    7 of the 8 scans were already on device the previous round. The pool
+    uploads each keyframe's padded scan ONCE (when it is first seen) and
+    assembles window buffers with an on-device stack — per-KF transfer
+    drops from ~8 MB to ~1 MB at reference scan sizes.
+
+    All scans pad to one shared pow2 size class (``_pad_pow2``), so the
+    stacked window matches the host builder bit-for-bit and hits the same
+    compiled phase programs. A scan exceeding the current class migrates
+    the pool (device-side re-pad; rare — scan sizes are sensor-fixed).
+
+    Entries are keyed by object identity of the keyframe and never
+    evicted: at ~1 MB per 65k-point scan, 16 GB of HBM holds hours of
+    keyframes (the reference equivalently keeps every KF scan in host
+    memory, src/mapping/keyframe_manager.py).
+    """
+
+    def __init__(self, sky_pad: int = 4096) -> None:
+        self._entries: dict = {}
+        self._p: Optional[int] = None
+        self._sky_pad = sky_pad
+
+    def _pack(self, kf, use_mask: bool):
+        d = kf.scan_dirs(use_mask)
+        z = kf.scan_depths(use_mask)
+        sky = kf.sky_dirs()
+        n = d.shape[1]
+        if self._p is None or n > self._p:
+            new_p = _pad_pow2(n)
+            if self._entries:
+                # Migrate existing entries on device (repeat-first-point
+                # padding preserved: pad rows replicate index 0).
+                for key, e in self._entries.items():
+                    pad = new_p - e["dirs"].shape[0]
+                    self._entries[key]["dirs"] = jnp.concatenate(
+                        [e["dirs"], jnp.broadcast_to(e["dirs"][:1], (pad, 3))]
+                    )
+                    self._entries[key]["depths"] = jnp.concatenate(
+                        [e["depths"], jnp.zeros((pad,), jnp.float32)]
+                    )
+            self._p = new_p
+        p = self._p
+        dirs = np.zeros((p, 3), np.float32)
+        dirs[:n] = d.T
+        dirs[n:] = d[:, 0]
+        depths = np.zeros((p,), np.float32)
+        depths[:n] = z
+        sdirs = np.zeros((self._sky_pad, 3), np.float32)
+        ns = 0
+        if sky is not None and sky.shape[1] > 0:
+            ns = min(sky.shape[1], self._sky_pad)
+            sdirs[:ns] = sky[:, :ns].T
+        return {
+            "dirs": jnp.asarray(dirs),
+            "depths": jnp.asarray(depths),
+            "count": n,
+            "sky_dirs": jnp.asarray(sdirs),
+            "sky_count": ns,
+        }
+
+    def build_window(self, window: list, window_size: int, use_mask: bool) -> WindowBuffers:
+        """WindowBuffers for a keyframe window; uploads only unseen scans.
+
+        Semantics match ``build_window_buffers``: empty slots replicate
+        slot 0's scan and are masked invalid.
+        """
+        w = window_size
+        m = len(window)
+        assert 1 <= m <= w
+        entries = []
+        for kf in window:
+            key = (id(kf), use_mask)
+            if key not in self._entries:
+                self._entries[key] = self._pack(kf, use_mask)
+            entries.append(self._entries[key])
+        slots = [entries[min(i, m - 1)] for i in range(w)]
+        return WindowBuffers(
+            jnp.stack([e["dirs"] for e in slots]),
+            jnp.stack([e["depths"] for e in slots]),
+            jnp.asarray([e["count"] for e in slots], jnp.int32),
+            jnp.stack([e["sky_dirs"] for e in slots]),
+            jnp.asarray([e["sky_count"] for e in slots], jnp.int32),
+            jnp.asarray([i < m for i in range(w)]),
+        )
+
+
 def sample_and_build_rays(
     key: jax.Array,
     buffers: WindowBuffers,

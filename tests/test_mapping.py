@@ -424,3 +424,27 @@ class TestWarmUp:
         kf = KeyFrame(frame)
         opt.iterate_optimizer([kf])
         assert len(opt._runner_cache) == 2
+
+
+class TestDeviceScanPool:
+    def test_matches_host_builder_and_uploads_once(self):
+        from loner_tpu.mapping.rays import DeviceScanPool, build_window_buffers
+
+        kfs, cube, _, _ = make_keyframes(3)
+        pool = DeviceScanPool()
+        win = kfs[:3]
+        a = pool.build_window(win, 4, use_mask=False)
+        b = build_window_buffers(
+            [kf.scan_dirs(False) for kf in win],
+            [kf.scan_depths(False) for kf in win],
+            [kf.sky_dirs() for kf in win],
+            4,
+        )
+        for name in ("dirs", "depths", "counts", "sky_dirs", "sky_counts", "slot_valid"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, name)), np.asarray(getattr(b, name)), err_msg=name
+            )
+        # Second window shares 2 of 3 keyframes: only the new scan packs.
+        n_entries = len(pool._entries)
+        pool.build_window(kfs[1:3], 4, use_mask=False)
+        assert len(pool._entries) == n_entries  # all already resident
