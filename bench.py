@@ -83,11 +83,12 @@ def main() -> None:
     cfg = OptimizerConfig(
         n_lidar_samples=n_rays, n_sky_samples=0, n_samples_per_ray=n_samples,
         window_size=w, ray_range=(1.0, 10.0), samples_strategy="PROPOSAL",
-        lr_sigma=0.005, steps_per_dispatch=10, prop_n_ctrl=65, point_chunk=0,
+        lr_sigma=0.005, steps_per_dispatch=10, prop_n_ctrl=33, point_chunk=0,
+        prop_train_subsample=8,
     )
     field_cfg = FieldConfig(
         encoding_sigma="fourier",
-        fourier_sigma=FourierConfig(n_freqs=64, scale=6.0),
+        fourier_sigma=FourierConfig(n_freqs=48, scale=6.0),
         sigma_mlp=MLPConfig(n_neurons=256, n_hidden_layers=3, output_dim=1),
         density_activation="softplus", sigma_mlp_bias=True,
         compute_dtype=jnp.bfloat16, sigma_kernel="xla",
