@@ -106,7 +106,11 @@ def main() -> None:
                 min_range=args.min_range,
             )
             if args.recompute_timestamps:
-                times = recompute_scan_timestamps(times)
+                # Organized clouds carry the true column count in width;
+                # the 2048 default matches the Fusion Portable ouster
+                # (reference run_loner.py:105).
+                h_res = int(msg.width) if int(msg.height) > 1 else 2048
+                times = recompute_scan_timestamps(times, h_resolution=h_res)
             times = normalize_timestamps(
                 times, scan_time, args.timestamps_relative_to_start
             )

@@ -37,27 +37,38 @@ def normalize_timestamps(
     """Apply the reference's per-point timestamp heuristics
     (examples/run_loner.py:113-147), in the same order:
 
-    1. |ts| > 1e7 -> stamps are nanoseconds, scale to seconds
+    1. nanosecond stamps (epoch-ns magnitude, or a > 1e6 s spread no
+       second-valued per-scan stamps could have) scale to seconds
     2. ts[0] < -1e-3 -> negative offsets (velodyne), rebase to ts[0]
-    3. ts[0] < 1e-2 -> scan-local offsets, shift by the scan header time;
-       otherwise stamps are global, re-anchor to the header time
+    3. scan-local offsets shift by the scan header time; global stamps
+       re-anchor to the header time
     4. spread < 1e-3 -> stamps are degenerate (no real per-point time);
        fill with the header time (motion compensation becomes a no-op)
 
     Output is float64 seconds, globally referenced. ``relative_to_start``
-    keeps step 3's local-offset branch available even when stamps are
-    slightly above the 1e-2 threshold (some converters emit mid-scan
-    starts); the default True matches the reference CLI.
+    (reference CLI default) treats any small-magnitude stamp array as
+    scan-local even when the first KEPT point starts later than the
+    reference's 10 ms threshold — range filtering runs before this
+    function, unlike the reference's pre-filter indexing.
     """
     ts = np.asarray(timestamps, dtype=np.float64)
     if ts.size == 0:
         return ts
-    if np.abs(ts).max() > 1e7:  # nanoseconds (reference run_loner.py:121)
+    # Nanosecond detection: the reference's bare |ts| > 1e7 test
+    # (run_loner.py:121) also catches absolute EPOCH-SECOND stamps
+    # (~1.7e9) and destroys their sub-second offsets; require either an
+    # unambiguous magnitude (epoch-ns ~1e18) or a spread no realistic
+    # per-scan second-valued stamps could have (> 1e6 s).
+    if np.abs(ts).max() > 1e14 or ts.max() - ts.min() > 1e6:
         ts = ts * 1e-9
     if ts[0] < -1e-3:  # velodyne negative offsets (run_loner.py:126)
         ts = ts - ts[0]
-    if ts[0] < 1e-2 and (relative_to_start or ts.max() < 1e5):
-        ts = ts + scan_time  # scan-local (run_loner.py:131-133)
+    if ts[0] < 1e-2 or (relative_to_start and ts.max() < 1e5):
+        # Scan-local offsets (run_loner.py:131-133). The relative_to_start
+        # arm also anchors scans whose FIRST KEPT point starts later than
+        # 10 ms into the sweep (range filtering runs before this, so
+        # ts[0] is not column 0 like the reference's pre-filter array).
+        ts = ts + scan_time
     elif ts.max() > 1e5:
         ts = ts - ts[0] + scan_time  # global (run_loner.py:134-137)
     if ts.size > 1 and ts.max() - ts.min() < 1e-3:

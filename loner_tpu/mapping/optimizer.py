@@ -173,6 +173,14 @@ def _adam_with_schedule(lr: float, gamma: float) -> optax.GradientTransformation
     return optax.adam(lambda step: lr * gamma ** step)
 
 
+def fused_steps(cfg: "OptimizerConfig", extras_mode: str) -> int:
+    """Iterations fused per dispatched program. Shared by the phase
+    runner and warm_up — both must agree on which programs exist."""
+    if extras_mode == "full":
+        return 1
+    return max(int(cfg.steps_per_dispatch), 1)
+
+
 def make_phase_runner(
     cfg: OptimizerConfig,
     field_cfg: FieldConfig,
@@ -395,7 +403,7 @@ def make_phase_runner(
     # compiled once, so compile time matches the single-step program.
     # The heavy per-iteration debug record forces single-step dispatch
     # (its stacked extras would not fit host memory comfortably).
-    k_fused = max(int(cfg.steps_per_dispatch), 1) if extras_mode != "full" else 1
+    k_fused = fused_steps(cfg, extras_mode)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def multi_step(opt_params, opt_state, occ_grid, static_intensity, buffers,
@@ -616,11 +624,14 @@ class Optimizer:
         buffers = build_window_buffers([d], [depths], [None], w)
         p = buffers.dirs.shape[1]
         ps = buffers.sky_dirs.shape[1]
-        k = (
-            max(int(self._cfg.steps_per_dispatch), 1)
-            if self._extras_mode != "full"
-            else 1
-        )
+        k = fused_steps(self._cfg, self._extras_mode)
+        if self._cfg.rays_strategy == "MASK":
+            print(
+                "warm_up: rays_strategy is MASK — the runtime point count "
+                "(mask-filtered) may land in a different pow2 bucket than "
+                f"the {p}-point warm-up window; pass the filtered count "
+                "for a guaranteed cache hit."
+            )
 
         def dummy_state():
             key = jax.random.key(17)
@@ -633,7 +644,13 @@ class Optimizer:
                 sampler = jnp.zeros((1, 1, 1), jnp.float32)
             return init_field_params(k_field, self._field_cfg), sampler
 
-        seen = set()
+        # Union the program kinds every reachable phase dispatches: two
+        # phases can share a cache key but need DIFFERENT programs (one
+        # divisible by k -> only the fused scan; another not -> also the
+        # single-step remainder), so first-occurrence dedup would leave a
+        # compile to land inside the real-time loop.
+        needs: Dict[tuple, set] = {}
+        eff_phases: Dict[tuple, PhaseSettings] = {}
         for item in self._keyframe_schedule:
             phases = [
                 PhaseSettings.from_dict(ph) for ph in item["iteration_schedule"]
@@ -649,31 +666,33 @@ class Optimizer:
                     replace(eff_phase, num_iterations=0), w, p, ps,
                     self._extras_mode,
                 )
-                if cache_key in seen:
-                    continue
-                seen.add(cache_key)
-                # Compile exactly the programs this phase dispatches at
-                # runtime: the k-fused scan, plus the single-step
-                # remainder when the iteration count doesn't divide by k.
                 n = int(phase.num_iterations)
-                warm_iters = (k if (k > 1 and n >= k) else 0) + (
-                    1 if (k == 1 or n % k != 0) else 0
-                )
-                field_params, sampler = dummy_state()
-                runner = self._get_runner(eff_phase, w, p, ps)
-                out = runner(
-                    field_params,
-                    sampler,
-                    jnp.zeros((w, 6), jnp.float32),
-                    buffers,
-                    jnp.ones((w,), jnp.float32),
-                    self._world_scale,
-                    self._world_shift,
-                    0,
-                    jax.random.key(3),
-                    num_iterations=warm_iters,
-                )
-                np.asarray(out[3])  # block until the compiles complete
+                kinds = needs.setdefault(cache_key, set())
+                if k > 1 and n >= k:
+                    kinds.add("fused")
+                if k == 1 or n % k != 0:
+                    kinds.add("single")
+                eff_phases[cache_key] = eff_phase
+
+        for cache_key, kinds in needs.items():
+            warm_iters = (k if "fused" in kinds else 0) + (
+                1 if "single" in kinds else 0
+            )
+            field_params, sampler = dummy_state()
+            runner = self._get_runner(eff_phases[cache_key], w, p, ps)
+            out = runner(
+                field_params,
+                sampler,
+                jnp.zeros((w, 6), jnp.float32),
+                buffers,
+                jnp.ones((w,), jnp.float32),
+                self._world_scale,
+                self._world_shift,
+                0,
+                jax.random.key(3),
+                num_iterations=warm_iters,
+            )
+            np.asarray(out[3])  # block until the compiles complete
         return time.time() - t0
 
     # -- main entry ------------------------------------------------------------

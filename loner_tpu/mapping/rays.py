@@ -64,6 +64,34 @@ def _pad_pow2(n: int, minimum: int = 4096) -> int:
     return p
 
 
+def pack_scan_slot(
+    d: np.ndarray,  # (3, N) sensor-frame dirs
+    z: np.ndarray,  # (N,) ranges
+    sky: Optional[np.ndarray],  # (3, M) or None
+    p: int,
+    sky_pad: int,
+):
+    """Pack ONE scan into the padded slot layout shared by the host
+    window builder and the device scan pool (they must stay bit-for-bit
+    identical: the warm-up path pre-compiles against the host layout).
+
+    Returns (dirs (P,3), depths (P,), count, sky_dirs (PS,3), sky_count)
+    as numpy arrays. Padding repeats the first point so gathers stay
+    in-range; depth padding is 0."""
+    n = d.shape[1]
+    dirs = np.zeros((p, 3), np.float32)
+    dirs[:n] = d.T
+    dirs[n:] = d[:, 0]
+    depths = np.zeros((p,), np.float32)
+    depths[:n] = z
+    sdirs = np.zeros((sky_pad, 3), np.float32)
+    ns = 0
+    if sky is not None and sky.shape[1] > 0:
+        ns = min(sky.shape[1], sky_pad)
+        sdirs[:ns] = sky[:, :ns].T
+    return dirs, depths, n, sdirs, ns
+
+
 def build_window_buffers(
     scans_dirs: List[np.ndarray],
     scans_depths: List[np.ndarray],
@@ -90,16 +118,9 @@ def build_window_buffers(
 
     for i in range(w):
         j = min(i, m - 1)
-        n = scans_dirs[j].shape[1]
-        dirs[i, :n] = scans_dirs[j].T
-        # Padding repeats the first point so gathers stay in-range.
-        dirs[i, n:] = scans_dirs[j][:, 0]
-        depths[i, :n] = scans_depths[j]
-        counts[i] = n
-        if sky_dirs[j] is not None and sky_dirs[j].shape[1] > 0:
-            ns = min(sky_dirs[j].shape[1], sky_pad)
-            sdirs[i, :ns] = sky_dirs[j][:, :ns].T
-            scounts[i] = ns
+        dirs[i], depths[i], counts[i], sdirs[i], scounts[i] = pack_scan_slot(
+            scans_dirs[j], scans_depths[j], sky_dirs[j], p, sky_pad
+        )
         valid[i] = i < m
 
     return WindowBuffers(
@@ -157,21 +178,13 @@ class DeviceScanPool:
                         [e["depths"], jnp.zeros((pad,), jnp.float32)]
                     )
             self._p = new_p
-        p = self._p
-        dirs = np.zeros((p, 3), np.float32)
-        dirs[:n] = d.T
-        dirs[n:] = d[:, 0]
-        depths = np.zeros((p,), np.float32)
-        depths[:n] = z
-        sdirs = np.zeros((self._sky_pad, 3), np.float32)
-        ns = 0
-        if sky is not None and sky.shape[1] > 0:
-            ns = min(sky.shape[1], self._sky_pad)
-            sdirs[:ns] = sky[:, :ns].T
+        dirs, depths, count, sdirs, ns = pack_scan_slot(
+            d, z, sky, self._p, self._sky_pad
+        )
         return {
             "dirs": jnp.asarray(dirs),
             "depths": jnp.asarray(depths),
-            "count": n,
+            "count": count,
             "sky_dirs": jnp.asarray(sdirs),
             "sky_count": ns,
         }

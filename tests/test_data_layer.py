@@ -196,6 +196,16 @@ class TestScanStream:
         ts = np.array([0.02, 0.02, 0.0201])
         out = normalize_timestamps(ts, scan_time=1000.0)
         np.testing.assert_allclose(out, [1000.0, 1000.0, 1000.0])
+        # absolute EPOCH-SECOND stamps keep their sub-second offsets (the
+        # reference's bare |ts|>1e7 ns test would zero them out)
+        ts = 1.7e9 + np.array([0.0, 0.05, 0.1])
+        out = normalize_timestamps(ts, scan_time=1000.0)
+        np.testing.assert_allclose(out - 1000.0, [0.0, 0.05, 0.1], atol=1e-6)
+        # scan whose first KEPT point starts >10ms into the sweep (range
+        # filtering precedes this function) still anchors to header time
+        ts = np.array([0.02, 0.05, 0.09])
+        out = normalize_timestamps(ts, scan_time=1000.0)
+        np.testing.assert_allclose(out, [1000.02, 1000.05, 1000.09])
 
     def test_recompute_scan_timestamps_uses_prefilter_index(self):
         from loner_tpu.datasets.scan_stream import recompute_scan_timestamps
