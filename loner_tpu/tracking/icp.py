@@ -184,6 +184,41 @@ def pad_cloud(points: np.ndarray, size: int) -> Tuple[np.ndarray, np.ndarray]:
     return out, valid
 
 
+@partial(jax.jit, static_argnames=("stage_params", "knn"))
+def _icp_schedule_fused(
+    src: jax.Array,
+    tgt: jax.Array,
+    src_valid: jax.Array,
+    tgt_valid: jax.Array,
+    thresholds: jax.Array,  # (S,) per-stage correspondence distances
+    init: jax.Array,
+    stage_params: tuple,  # ((max_iters, rel_fitness, rel_rmse), ...)
+    knn: int,
+) -> ICPResult:
+    """Normals + every schedule stage in ONE compiled program: the
+    per-frame cost is one dispatch instead of 1 + S, which matters when
+    each device round-trip carries tunnel/PCIe latency (the tracker runs
+    this at frame rate)."""
+    normals = estimate_normals(tgt, tgt_valid, k=knn)
+    t_mat = init
+    result = None
+    for i, (max_iters, rel_fit, rel_rmse) in enumerate(stage_params):
+        result = registration_icp(
+            src,
+            tgt,
+            normals,
+            src_valid,
+            tgt_valid,
+            thresholds[i],
+            t_mat,
+            max_iterations=int(max_iters),
+            relative_fitness=float(rel_fit),
+            relative_rmse=float(rel_rmse),
+        )
+        t_mat = result.transformation
+    return result
+
+
 def run_icp_schedule(
     source: np.ndarray,
     target: np.ndarray,
@@ -194,27 +229,31 @@ def run_icp_schedule(
 ) -> ICPResult:
     """2-stage (or N-stage) ICP like the reference tracker
     (tracker.py:205-221): each stage refines the previous stage's result
-    with a tighter correspondence threshold."""
+    with a tighter correspondence threshold. Thresholds are traced (one
+    compiled program regardless of their values); stage count/iteration
+    caps are static."""
     src, src_valid = pad_cloud(np.asarray(source, np.float32), pad_size)
     tgt, tgt_valid = pad_cloud(np.asarray(target, np.float32), pad_size)
-    src, tgt = jnp.asarray(src), jnp.asarray(tgt)
-    src_valid, tgt_valid = jnp.asarray(src_valid), jnp.asarray(tgt_valid)
-    normals = estimate_normals(tgt, tgt_valid, k=knn)
 
-    t_mat = jnp.asarray(np.eye(4, dtype=np.float32) if init is None else init.astype(np.float32))
-    result = None
-    for stage in schedule:
-        result = registration_icp(
-            src,
-            tgt,
-            normals,
-            src_valid,
-            tgt_valid,
-            float(stage["threshold"]),
-            t_mat,
-            max_iterations=int(stage["max_iterations"]),
-            relative_fitness=float(stage.get("relative_fitness", 1e-8)),
-            relative_rmse=float(stage.get("relative_rmse", 1e-8)),
+    thresholds = jnp.asarray(
+        [float(s["threshold"]) for s in schedule], jnp.float32
+    )
+    stage_params = tuple(
+        (
+            int(s["max_iterations"]),
+            float(s.get("relative_fitness", 1e-8)),
+            float(s.get("relative_rmse", 1e-8)),
         )
-        t_mat = result.transformation
-    return result
+        for s in schedule
+    )
+    t0 = np.eye(4, dtype=np.float32) if init is None else init.astype(np.float32)
+    return _icp_schedule_fused(
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+        jnp.asarray(src_valid),
+        jnp.asarray(tgt_valid),
+        thresholds,
+        jnp.asarray(t0),
+        stage_params,
+        knn,
+    )
