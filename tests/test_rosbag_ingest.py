@@ -199,3 +199,110 @@ def test_convert_rosbag_end_to_end(tmp_path, monkeypatch):
     gt = np.loadtxt(os.path.join(out_dir, "poses_gt.tum"))
     assert gt.shape == (2, 8)
     np.testing.assert_allclose(gt[1, 1], 1.0)  # x of second pose
+
+
+def _ouster_pointcloud2_bytes(secs, nsecs, xyz: np.ndarray,
+                              t_ns: np.ndarray, height: int) -> bytes:
+    """Serialize an Ouster-style PointCloud2: organized (height > 1),
+    48-byte stride, fields x,y,z f32 + intensity f32 + t UINT32 ns +
+    reflectivity u16 + ring u8 + range u32 at the real driver offsets."""
+    n = xyz.shape[0]
+    point_step = 48
+    blob = np.zeros((n, point_step), np.uint8)
+    blob[:, 0:12] = xyz.astype(np.float32).view(np.uint8).reshape(n, 12)
+    blob[:, 16:20] = (
+        np.full(n, 100.0, np.float32).view(np.uint8).reshape(n, 4)
+    )  # intensity
+    blob[:, 20:24] = t_ns.astype(np.uint32).view(np.uint8).reshape(n, 4)
+    blob[:, 26:27] = (np.arange(n) % height).astype(np.uint8).reshape(n, 1)
+    payload = blob.tobytes()
+    fields = [
+        ("x", 0, 7, 1), ("y", 4, 7, 1), ("z", 8, 7, 1),
+        ("intensity", 16, 7, 1), ("t", 20, 6, 1),
+        ("reflectivity", 24, 4, 1), ("ring", 26, 2, 1), ("range", 28, 6, 1),
+    ]
+    out = _ros_header(0, secs, nsecs, "os_sensor")
+    out += struct.pack("<II", height, n // height)  # height, width
+    out += struct.pack("<I", len(fields))
+    for name, off, dt, cnt in fields:
+        out += _ros_string(name) + struct.pack("<IBI", off, dt, cnt)
+    out += struct.pack("<B", 0)
+    out += struct.pack("<II", point_step, point_step * (n // height))
+    out += struct.pack("<I", len(payload)) + payload
+    out += struct.pack("<B", 1)
+    return out
+
+
+def write_ouster_bag(path: str, n_scans: int = 2, height: int = 4,
+                     width: int = 64) -> dict:
+    """Realistic Ouster-layout bag: organized clouds, u32-ns per-point
+    times, extra fields the decoder must skip over."""
+    rng = np.random.default_rng(3)
+    scans = []
+    chunk = _connection_record(0, "/os_cloud_node/points", "sensor_msgs/PointCloud2")
+    t0 = 1_700_000_000
+    for i in range(n_scans):
+        n = height * width
+        xyz = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+        # Column-major sweep times: column c fires at c/width * 0.1 s.
+        cols = np.arange(n) // height
+        t_ns = (cols / width * 0.1 * 1e9).astype(np.uint32)
+        scans.append((xyz, t_ns))
+        chunk += _message_record(
+            0, t0 + i, 0,
+            _ouster_pointcloud2_bytes(t0 + i, 0, xyz, t_ns, height),
+        )
+    chunk_record = _record(
+        {b"op": b"\x05", b"compression": b"none",
+         b"size": struct.pack("<I", len(chunk))},
+        chunk,
+    )
+    bag_header = _record(
+        {b"op": b"\x03", b"index_pos": struct.pack("<Q", 0),
+         b"conn_count": struct.pack("<I", 1),
+         b"chunk_count": struct.pack("<I", 1)},
+        b" " * 4096,
+    )
+    with open(path, "wb") as f:
+        f.write(b"#ROSBAG V2.0\n" + bag_header + chunk_record)
+    return {"scans": scans, "t0": t0}
+
+
+def test_convert_ouster_layout_end_to_end(tmp_path, monkeypatch):
+    """Ouster-style bag (organized, 48-byte stride, u32-ns t, ring/
+    reflectivity fields at real offsets) -> CLI -> scan stream."""
+    bag_path = str(tmp_path / "ouster.bag")
+    truth = write_ouster_bag(bag_path)
+    out_dir = str(tmp_path / "converted")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import convert_rosbag
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["convert_rosbag.py", bag_path, out_dir, "--min_range", "0.0"],
+    )
+    convert_rosbag.main()
+
+    from loner_tpu.datasets.scan_stream import ScanStreamReader
+
+    reader = ScanStreamReader(out_dir)
+    assert len(reader) == 2
+    scan = reader.read_scan(0)
+    xyz, t_ns = truth["scans"][0]
+    assert len(scan) == xyz.shape[0]
+    # u32-ns per-point times decode to seconds anchored at the header.
+    assert np.all(np.diff(scan.timestamps) >= 0)
+    np.testing.assert_allclose(
+        scan.timestamps.max() - scan.timestamps.min(),
+        (t_ns.max() - t_ns.min()) * 1e-9,
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(scan.timestamps.min(), truth["t0"], atol=1e-6)
+    # Ranges survive the 48-byte-stride decode (sorted by time, so
+    # compare as multisets).
+    np.testing.assert_allclose(
+        np.sort(scan.distances),
+        np.sort(np.linalg.norm(xyz, axis=-1)),
+        rtol=1e-5,
+    )
