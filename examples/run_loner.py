@@ -26,7 +26,6 @@ from loner_tpu.common.jax_setup import enable_persistent_cache
 
 enable_persistent_cache()
 
-from loner_tpu.common.pose import Pose
 from loner_tpu.common.settings import Settings, generate_options
 from loner_tpu.datasets.scan_stream import ScanStreamReader, apply_fov_mask
 from loner_tpu.runtime.loner import Loner

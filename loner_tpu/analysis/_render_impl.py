@@ -11,7 +11,6 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from loner_tpu.models.rendering import make_sampler, render_rays
 

@@ -12,8 +12,6 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 import yaml
 

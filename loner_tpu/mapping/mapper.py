@@ -10,6 +10,7 @@ every keyframe at VERBOSE — and final.tar at shutdown).
 """
 from __future__ import annotations
 
+import copy
 import os
 import pickle
 import time
@@ -122,8 +123,6 @@ class Mapper:
                 # Shallow-copy so the GT substitution never mutates the
                 # Frame shared with the logger thread (scans are shared
                 # read-only; only the pose slot is replaced).
-                import copy
-
                 new_frame = copy.copy(new_frame)
                 new_frame._lidar_pose = new_frame._gt_lidar_pose
 

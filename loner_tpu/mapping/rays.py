@@ -169,12 +169,12 @@ class DeviceScanPool:
             if self._entries:
                 # Migrate existing entries on device (repeat-first-point
                 # padding preserved: pad rows replicate index 0).
-                for key, e in self._entries.items():
+                for e in self._entries.values():
                     pad = new_p - e["dirs"].shape[0]
-                    self._entries[key]["dirs"] = jnp.concatenate(
+                    e["dirs"] = jnp.concatenate(
                         [e["dirs"], jnp.broadcast_to(e["dirs"][:1], (pad, 3))]
                     )
-                    self._entries[key]["depths"] = jnp.concatenate(
+                    e["depths"] = jnp.concatenate(
                         [e["depths"], jnp.zeros((pad,), jnp.float32)]
                     )
             self._p = new_p

@@ -11,7 +11,6 @@ throttle against the mapper uses SharedState.
 """
 from __future__ import annotations
 
-import os
 import time
 from typing import Optional
 
