@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import copy
 import os
 import sys
 import time
@@ -217,7 +218,10 @@ def main() -> None:
         if desc:
             print(f"config_{config_idx}: {desc}")
         for trial_idx in range(args.num_repeats):
-            jobs.append((settings, config_idx, trial_idx))
+            # Each trial gets its OWN Settings copy: a running trial
+            # mutates its settings (experiment_name, log paths, debug
+            # flag ANDing), which must not leak into sibling trials.
+            jobs.append((copy.deepcopy(settings), config_idx, trial_idx))
 
     def run_one(job, _device):
         settings, config_idx, trial_idx = job
@@ -230,12 +234,17 @@ def main() -> None:
             duration=args.duration,
         )
 
-    # (config, trial) jobs fan out one-per-device (reference's multi-GPU
-    # trial pool, run_loner.py:339-424); on this 1-chip/1-CPU target the
-    # pool degrades to the original sequential loop.
-    from loner_tpu.parallel.device_pool import map_jobs
-
-    map_jobs(run_one, jobs)
+    # SLAM trials run SEQUENTIALLY even on multi-device hosts: a trial
+    # spawns its own tracker/mapper threads (runtime/loner.py), and
+    # jax.default_device is thread-local — a device-pool worker's binding
+    # would not reach those threads, so concurrent trials would all pile
+    # onto device 0 (the reference fans out via per-GPU PROCESSES with
+    # CUDA_VISIBLE_DEVICES, run_loner.py:394-424, which has no
+    # single-process analog). The device pool still parallelizes the
+    # offline tools (renderer_lidar, compute_l1_depth, flythrough),
+    # whose workers stay single-threaded.
+    for job in jobs:
+        run_one(job, None)
 
 
 if __name__ == "__main__":

@@ -730,7 +730,30 @@ class Optimizer:
         twists = jnp.asarray(twists)
 
         all_losses, all_eps = [], []
-        extras_log: Optional[list] = [] if self._extras_mode != "none" else None
+        # Streaming sink: per-dispatch debug records are written to disk
+        # as they arrive (draw_samples' full sample clouds are ~50 MB per
+        # iteration at reference scale — accumulating a 1000-iteration
+        # bootstrap keyframe in host RAM is not an option).
+        extras_log = None
+        if self._extras_mode != "none" and self._log_directory is not None:
+            from loner_tpu.runtime.debug_artifacts import IterationRayRecordDumper
+
+            extras_log = IterationRayRecordDumper(
+                self._log_directory,
+                self._keyframe_count,
+                n_lidar=self._cfg.n_lidar_samples,
+                n_sky=self._cfg.n_sky_samples if self._cfg.enable_sky else 0,
+                window_slots=w,
+                num_kfs=m,
+                world_scale=float(self._world_scale),
+                world_shift=np.asarray(self._world_shift),
+                eps_min=self._cfg.loss.min_depth_eps,
+                js_alpha=self._cfg.loss.js_alpha,
+                max_js_score=self._cfg.loss.max_js_score,
+                store_ray=self._store_ray,
+                draw_samples=self._draw_samples,
+                draw_rays_eps=self._draw_rays_eps,
+            )
         trace_ctx = optimizer_trace(self._log_directory, self._profile_optimizer)
         trace_ctx.__enter__()
         for phase in phases:
@@ -780,26 +803,9 @@ class Optimizer:
 
         trace_ctx.__exit__(None, None, None)
 
-        if extras_log and self._log_directory is not None:
-            from loner_tpu.runtime.debug_artifacts import dump_iteration_ray_record
-
-            dump_iteration_ray_record(
-                extras_log,
-                self._log_directory,
-                self._keyframe_count,
-                n_lidar=self._cfg.n_lidar_samples,
-                n_sky=self._cfg.n_sky_samples if self._cfg.enable_sky else 0,
-                window_slots=w,
-                num_kfs=m,
-                world_scale=float(self._world_scale),
-                world_shift=np.asarray(self._world_shift),
-                eps_min=self._cfg.loss.min_depth_eps,
-                js_alpha=self._cfg.loss.js_alpha,
-                max_js_score=self._cfg.loss.max_js_score,
-                store_ray=self._store_ray,
-                draw_samples=self._draw_samples,
-                draw_rays_eps=self._draw_rays_eps,
-            )
+        if extras_log is not None:
+            extras_log.finish()  # store_ray accumulation (per-iteration
+            # draw_samples/rays_eps files were streamed during the run)
 
         # Fatal non-finite checks (reference optimizer.py:368-374, 590).
         twists_np = np.asarray(twists)

@@ -270,6 +270,9 @@ def _fused_sigma(sigma_params, pos01, cfg: FieldConfig) -> jax.Array:
         pos01,
         fourier_bmat(cfg.fourier_sigma),
         compute_dtype=cfg.compute_dtype,
+        # Off-TPU there is no Mosaic lowering; interpret mode keeps
+        # sigma_kernel: pallas runnable (slow — debugging only).
+        interpret=jax.default_backend() != "tpu",
     )
 
 

@@ -19,8 +19,12 @@ field in a small Fourier MLP:
     expressed as a linear loss  mean(stop_grad(logits_grad) * logits)
     whose autodiff gradient w.r.t. the MLP matches the reference's
     ``point_logits.backward(gradient=logits_grad)`` — dense matmuls only.
-  * cadence: active every ``N_iters_acc`` iterations with plain SGD at
-    the occ-model learning rate, matching model_config.model.occ_model.
+  * cadence: the proposal trains EVERY iteration with Adam at
+    ``occ_model.prop_lr`` on a strided subset of the sample points
+    (``prop_train_subsample``) — the stride plays the role of the
+    reference's every-``N_iters_acc`` grid update (same signal density
+    per unit compute). ``occ_model.lr`` / ``N_iters_acc`` only apply to
+    the OGM (voxel-grid) strategy.
 
 The proposal parameter pytree travels in the optimizer/checkpoint slot
 the occupancy grid otherwise occupies ("occ_model_state_dict"), so the

@@ -52,27 +52,9 @@ def dump_ray_point_cloud(
     write_pcd_xyz(rays[:, :3], os.path.join(log_directory, "rays", f"{tag}_origins.pcd"))
 
 
-def dump_iteration_ray_record(
-    extras_log: list,
-    log_directory: str,
-    keyframe_count: int,
-    n_lidar: int,
-    n_sky: int,
-    window_slots: int,
-    num_kfs: int,
-    world_scale: float,
-    world_shift: np.ndarray,
-    eps_min: float,
-    js_alpha: float,
-    max_js_score: float,
-    store_ray: bool = False,
-    draw_samples: bool = False,
-    draw_rays_eps: bool = False,
-) -> None:
-    """Per-iteration ray/sample debug dumps for one keyframe optimization.
-
-    ``extras_log`` is a list of per-dispatch records with leading iteration
-    axes (see Optimizer). Reproduces the reference's three debug products:
+class IterationRayRecordDumper:
+    """Streaming per-iteration ray/sample debug dumps for one keyframe
+    optimization. Reproduces the reference's three debug products:
 
     * ``store_ray`` (optimizer.py:393-410): accumulated sampled rays over
       ALL iterations -> rays/lidar/kf_N.pcd, plus per-ray sky/current-kf
@@ -83,30 +65,127 @@ def dump_iteration_ray_record(
     * ``draw_rays_eps`` (optimizer.py:559-566): per-iteration rays colored
       by normalized dynamic margin -> rays_eps/rays_kfK_itI.pcd.
 
+    Records stream through ``append`` (one per dispatch, leading
+    iteration axis) and the heavy per-iteration tensors (draw_samples'
+    full sample clouds are ~50 MB/iteration at reference scale) are
+    written and DISCARDED immediately — accumulating them for a
+    1000-iteration bootstrap keyframe would hold tens of GB in host RAM.
+    Only the small store_ray fields accumulate until ``finish``.
     Iteration indices run sequentially across the keyframe's phases.
     """
-    rays = np.concatenate([r["rays"] for r in extras_log])  # (T, B, 11)
-    depths = np.concatenate([r["depths_cube"] for r in extras_log])
-    std = np.concatenate([r["std"] for r in extras_log])
-    js = np.concatenate([r["js"] for r in extras_log])
-    valid = np.concatenate([r["valid"] for r in extras_log]).astype(bool)
-    t, b = depths.shape
 
-    # Batch layout: window_slots chunks of (n_lidar + n_sky) rays.
-    per_slot = n_lidar + n_sky
-    slot = np.arange(b) // per_slot
-    in_slot = np.arange(b) % per_slot
-    sky_mask = np.broadcast_to(in_slot >= n_lidar, (t, b))
-    curr_mask = np.broadcast_to(slot == num_kfs - 1, (t, b))
+    def __init__(
+        self,
+        log_directory: str,
+        keyframe_count: int,
+        n_lidar: int,
+        n_sky: int,
+        window_slots: int,
+        num_kfs: int,
+        world_scale: float,
+        world_shift: np.ndarray,
+        eps_min: float,
+        js_alpha: float,
+        max_js_score: float,
+        store_ray: bool = False,
+        draw_samples: bool = False,
+        draw_rays_eps: bool = False,
+    ) -> None:
+        self._dir = log_directory
+        self._kf = keyframe_count
+        self._n_lidar = n_lidar
+        self._n_sky = n_sky
+        self._num_kfs = num_kfs
+        self._scale = world_scale
+        self._shift = world_shift
+        self._eps_max = eps_min * (1.0 + js_alpha * max_js_score) + 1e-5
+        self._store_ray = store_ray
+        self._draw_samples = draw_samples
+        self._draw_rays_eps = draw_rays_eps
+        self._it = 0
+        self._ray_acc: list = []  # small (rays, depths, std, js, valid) rows
 
-    if store_ray:
+    def __bool__(self) -> bool:  # mirrors `if extras_log` truthiness checks
+        return True
+
+    def append(self, rec: dict) -> None:
+        rays = np.asarray(rec["rays"])  # (T, B, 11)
+        depths = np.asarray(rec["depths_cube"])
+        valid = np.asarray(rec["valid"]).astype(bool)
+        t, b = depths.shape
+
+        if self._store_ray:
+            self._ray_acc.append(
+                (rays, depths, np.asarray(rec["std"]), np.asarray(rec["js"]), valid)
+            )
+
+        if self._draw_samples and "points" in rec:
+            points = np.asarray(rec["points"])  # (T, B, S, 3)
+            w_pred = np.asarray(rec["w_pred"])  # (T, B, S)
+            w_gt = np.asarray(rec["w_gt"])
+            samples_dir = os.path.join(self._dir, "samples")
+            os.makedirs(samples_dir, exist_ok=True)
+            for i in range(t):
+                pts_w = points[i].reshape(-1, 3) * self._scale - self._shift
+                for suffix, w in (
+                    ("", w_pred[i].reshape(-1)), ("_gt", w_gt[i].reshape(-1))
+                ):
+                    keep = w > 1e-5
+                    write_pcd_xyz_intensity(
+                        pts_w[keep], w[keep],
+                        os.path.join(
+                            samples_dir,
+                            f"samples_kf{self._kf}_it{self._it + i}{suffix}.pcd",
+                        ),
+                    )
+
+        if self._draw_rays_eps and "per_ray_eps" in rec:
+            eps = np.asarray(rec["per_ray_eps"])  # (T, B)
+            rays_eps_dir = os.path.join(self._dir, "rays_eps")
+            os.makedirs(rays_eps_dir, exist_ok=True)
+            for i in range(t):
+                v = valid[i]
+                pts = rays_to_points(rays[i, v], depths[i, v])
+                pts = pts * self._scale - self._shift
+                write_pcd_xyz_intensity(
+                    pts, eps[i, v] / self._eps_max,
+                    os.path.join(
+                        rays_eps_dir, f"rays_kf{self._kf}_it{self._it + i}.pcd"
+                    ),
+                )
+                origins = rays[i, v, :3] * self._scale - self._shift
+                write_pcd_xyz(
+                    origins,
+                    os.path.join(
+                        rays_eps_dir, f"origins_kf{self._kf}_it{self._it + i}.pcd"
+                    ),
+                )
+
+        self._it += t
+
+    def finish(self) -> None:
+        if not self._store_ray or not self._ray_acc:
+            return
+        rays = np.concatenate([r[0] for r in self._ray_acc])  # (T, B, 11)
+        depths = np.concatenate([r[1] for r in self._ray_acc])
+        std = np.concatenate([r[2] for r in self._ray_acc])
+        js = np.concatenate([r[3] for r in self._ray_acc])
+        valid = np.concatenate([r[4] for r in self._ray_acc])
+        t, b = depths.shape
+
+        # Batch layout: window_slots chunks of (n_lidar + n_sky) rays.
+        per_slot = self._n_lidar + self._n_sky
+        slot = np.arange(b) // per_slot
+        in_slot = np.arange(b) % per_slot
+        sky_mask = np.broadcast_to(in_slot >= self._n_lidar, (t, b))
+        curr_mask = np.broadcast_to(slot == self._num_kfs - 1, (t, b))
+
         v = valid.reshape(-1)
         flat_rays = rays.reshape(-1, 11)[v]
         flat_depths = depths.reshape(-1)[v]
-        pts = flat_rays[:, :3] + flat_rays[:, 3:6] * flat_depths[:, None]
-        pts = pts * world_scale - world_shift
+        pts = rays_to_points(flat_rays, flat_depths) * self._scale - self._shift
         write_pcd_xyz(
-            pts, os.path.join(log_directory, "rays", "lidar", f"kf_{keyframe_count}.pcd")
+            pts, os.path.join(self._dir, "rays", "lidar", f"kf_{self._kf}.pcd")
         )
         for name, arr in (
             ("sky_mask", sky_mask.reshape(-1)[v]),
@@ -114,46 +193,18 @@ def dump_iteration_ray_record(
             ("std", std.reshape(-1)[v]),
             ("js", js.reshape(-1)[v]),
         ):
-            d = os.path.join(log_directory, "rays", name)
+            d = os.path.join(self._dir, "rays", name)
             os.makedirs(d, exist_ok=True)
-            np.save(os.path.join(d, f"kf_{keyframe_count}.npy"), arr)
+            np.save(os.path.join(d, f"kf_{self._kf}.npy"), arr)
 
-    if draw_samples and "points" in extras_log[0]:
-        points = np.concatenate([r["points"] for r in extras_log])  # (T, B, S, 3)
-        w_pred = np.concatenate([r["w_pred"] for r in extras_log])  # (T, B, S)
-        w_gt = np.concatenate([r["w_gt"] for r in extras_log])
-        samples_dir = os.path.join(log_directory, "samples")
-        os.makedirs(samples_dir, exist_ok=True)
-        for i in range(t):
-            pts_w = points[i].reshape(-1, 3) * world_scale - world_shift
-            for suffix, w in (("", w_pred[i].reshape(-1)), ("_gt", w_gt[i].reshape(-1))):
-                keep = w > 1e-5
-                write_pcd_xyz_intensity(
-                    pts_w[keep], w[keep],
-                    os.path.join(
-                        samples_dir,
-                        f"samples_kf{keyframe_count}_it{i}{suffix}.pcd",
-                    ),
-                )
 
-    if draw_rays_eps and "per_ray_eps" in extras_log[0]:
-        eps = np.concatenate([r["per_ray_eps"] for r in extras_log])  # (T, B)
-        eps_max = eps_min * (1.0 + js_alpha * max_js_score) + 1e-5
-        rays_eps_dir = os.path.join(log_directory, "rays_eps")
-        os.makedirs(rays_eps_dir, exist_ok=True)
-        for i in range(t):
-            v = valid[i]
-            pts = rays[i, v, :3] + rays[i, v, 3:6] * depths[i, v, None]
-            pts = pts * world_scale - world_shift
-            write_pcd_xyz_intensity(
-                pts, eps[i, v] / eps_max,
-                os.path.join(rays_eps_dir, f"rays_kf{keyframe_count}_it{i}.pcd"),
-            )
-            origins = rays[i, v, :3] * world_scale - world_shift
-            write_pcd_xyz(
-                origins,
-                os.path.join(rays_eps_dir, f"origins_kf{keyframe_count}_it{i}.pcd"),
-            )
+def dump_iteration_ray_record(extras_log: list, *args, **kwargs) -> None:
+    """Batch wrapper over IterationRayRecordDumper (kept for callers that
+    already hold the full record list)."""
+    dumper = IterationRayRecordDumper(*args, **kwargs)
+    for rec in extras_log:
+        dumper.append(rec)
+    dumper.finish()
 
 
 def write_pcd_xyz_intensity(points: np.ndarray, intensity: np.ndarray, fname: str) -> None:
