@@ -135,3 +135,38 @@ def test_iteration_ray_record_dump(tmp_path):
     # intensity column present
     with open(tmp_path / "rays_eps" / "rays_kf4_it0.pcd") as f:
         assert "FIELDS x y z intensity" in f.read()
+
+
+def test_optimizer_streams_ray_records(tmp_path):
+    """The Optimizer's extras sink streams per-iteration debug files
+    during the run and writes store_ray accumulations at finish."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from test_mapping import make_keyframes, small_field_cfg, small_opt_cfg
+    from loner_tpu.mapping.optimizer import Optimizer
+
+    kfs, cube, _, _ = make_keyframes(2)
+    opt = Optimizer(
+        small_opt_cfg(n_lidar_samples=16, n_samples_per_ray=16,
+                      steps_per_dispatch=2),
+        small_field_cfg(),
+        cube.scale_factor,
+        cube.shift,
+        [{"num_keyframes": -1,
+          "iteration_schedule": [
+              {"num_iterations": 4, "freeze_poses": True,
+               "freeze_sigma_mlp": False}]}],
+        use_gt_poses=True,
+        seed=0,
+        log_directory=str(tmp_path),
+        store_ray=True,
+        draw_samples=True,
+        draw_rays_eps=True,
+    )
+    opt.iterate_optimizer(kfs[:1])
+    assert os.path.exists(tmp_path / "rays" / "lidar" / "kf_0.pcd")
+    assert os.path.exists(tmp_path / "rays" / "js" / "kf_0.npy")
+    # draw_samples/rays_eps files exist for every iteration index
+    for i in range(4):
+        assert os.path.exists(tmp_path / "samples" / f"samples_kf0_it{i}.pcd"), i
+        assert os.path.exists(tmp_path / "rays_eps" / f"rays_kf0_it{i}.pcd"), i
