@@ -222,9 +222,18 @@ def make_phase_runner(
     # Training encode path. The custom-VJP encode saves gathered corner
     # features instead of rematerializing them, so the per-block
     # jax.checkpoint must be OFF for it (it would discard the residuals
-    # and re-gather, defeating the point).
+    # and re-gather, defeating the point). Only the HASH sigma encoding
+    # uses encode_fn — fourier configs keep block rematerialization
+    # (their per-block live set is MLP activations, exactly what the
+    # checkpoint bounds).
     remat_blocks = True
-    if encode_fn is None and cfg.encode_impl != "xla":
+    uses_hash_sigma = field_cfg.encoding_sigma != "fourier"
+    if cfg.encode_impl not in ("xla", "vjp_bf16", "vjp_f32"):
+        raise RuntimeError(
+            f"Unrecognized encode_impl '{cfg.encode_impl}' "
+            "(expected xla, vjp_bf16, or vjp_f32)"
+        )
+    if encode_fn is None and cfg.encode_impl != "xla" and uses_hash_sigma:
         from loner_tpu.models.hash_encoding import hash_encode_train
 
         dt = jnp.bfloat16 if cfg.encode_impl == "vjp_bf16" else jnp.float32
@@ -480,8 +489,8 @@ def make_phase_runner(
                 jnp.asarray(i, jnp.int32), jnp.asarray(step0 + i, jnp.int32),
                 jax.random.fold_in(jax.random.fold_in(key, i), 1),
             )
-            losses.append(loss[None] if loss.ndim == 0 else loss)
-            eps_log.append(eps[None] if eps.ndim == 0 else eps)
+            losses.append(loss[None])  # step() returns scalars
+            eps_log.append(eps[None])
             collect(extras, 1)
             i += 1
 

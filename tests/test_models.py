@@ -49,6 +49,46 @@ class TestHashEncoding:
         _, w = hash_corner_indices(pos, cfg)
         np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-5)
 
+    def test_custom_vjp_matches_autodiff_oracle(self):
+        """The hand-written training VJP (hash_encode_train, the default
+        gradient path for hash-sigma configs) must match jax.grad of the
+        plain hash_encode — any drift silently corrupts every mapping
+        gradient rather than crashing."""
+        from loner_tpu.models.hash_encoding import hash_encode_train
+
+        cfg = HashEncodingConfig(
+            n_levels=4, log2_hashmap_size=10, base_resolution=4,
+            per_level_scale=1.7,
+        )
+        table = init_hash_table(jax.random.key(2), cfg) * 10.0
+        rng = np.random.default_rng(5)
+        # Include out-of-range points (clip path) and near-vertex points.
+        pos = np.concatenate([
+            rng.uniform(-0.1, 1.1, (48, 3)),
+            np.array([[0.25, 0.5, 0.75]]),
+        ]).astype(np.float32)
+        pos = jnp.asarray(pos)
+        encode = hash_encode_train(
+            compute_dtype=jnp.float32, residual_dtype=jnp.float32
+        )
+        cot = jnp.asarray(
+            rng.normal(size=(pos.shape[0], cfg.output_dim)), jnp.float32
+        )
+
+        def loss_vjp(t, p):
+            return jnp.sum(encode(t, p, cfg) * cot)
+
+        def loss_oracle(t, p):
+            return jnp.sum(hash_encode(t, p, cfg) * cot)
+
+        out_v = encode(table, pos, cfg)
+        out_o = hash_encode(table, pos, cfg)
+        np.testing.assert_allclose(np.asarray(out_v), np.asarray(out_o), atol=1e-5)
+        gt_v, gp_v = jax.grad(loss_vjp, argnums=(0, 1))(table, pos)
+        gt_o, gp_o = jax.grad(loss_oracle, argnums=(0, 1))(table, pos)
+        np.testing.assert_allclose(np.asarray(gt_v), np.asarray(gt_o), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gp_v), np.asarray(gp_o), atol=2e-4)
+
     def test_dense_level_vertex_exact(self):
         # At a dense-grid vertex the encoding equals the stored feature.
         cfg = HashEncodingConfig(n_levels=1, base_resolution=4, log2_hashmap_size=18)
