@@ -448,3 +448,34 @@ class TestDeviceScanPool:
         n_entries = len(pool._entries)
         pool.build_window(kfs[1:3], 4, use_mask=False)
         assert len(pool._entries) == n_entries  # all already resident
+
+
+def test_mask_strategy_through_scan_pool():
+    """MASK windows built via the device scan pool contain only the
+    mask-true points (pow2-padded)."""
+    from loner_tpu.common.sensors import LidarScan
+    from loner_tpu.mapping.rays import DeviceScanPool
+
+    rng = np.random.default_rng(9)
+    n = 64
+    d = rng.normal(size=(3, n))
+    d /= np.linalg.norm(d, axis=0)
+    mask = np.zeros(n, bool)
+    mask[::2] = True
+    scan = LidarScan(
+        d.astype(np.float32), np.full(n, 4.0, np.float32),
+        np.linspace(0, 1, n), mask=mask,
+    )
+    frame = Frame(lidar_points=scan)
+    frame._lidar_pose = Pose.identity()
+    kf = KeyFrame(frame)
+
+    pool = DeviceScanPool()
+    buffers = pool.build_window([kf], 2, use_mask=True)
+    assert int(buffers.counts[0]) == mask.sum()
+    np.testing.assert_allclose(
+        np.asarray(buffers.dirs[0, : mask.sum()]), d[:, mask].T, atol=1e-6
+    )
+    # The same pool keyed separately for unmasked use.
+    full = pool.build_window([kf], 2, use_mask=False)
+    assert int(full.counts[0]) == n
