@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from loner_tpu.mapping.rays import WindowBuffers
 
 DATA_AXIS = "data"
+RAY_AXIS = "ray"
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
@@ -32,16 +33,33 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_2d(
+    n_kf: int, n_ray: int, kf_axis: str = DATA_AXIS, ray_axis: str = RAY_AXIS
+) -> Mesh:
+    """(kf x ray) mesh for slices wider than the keyframe window: the
+    window-slot axis data-parallelizes over ``kf_axis`` and each slot's
+    POINT buffer shards over ``ray_axis`` (GSPMD turns the per-iteration
+    uniform index gathers into cross-shard collectives; verified
+    loss-equal to the single-device program on a virtual mesh —
+    tests/test_mesh_sharding.py)."""
+    devices = np.asarray(jax.devices()[: n_kf * n_ray]).reshape(n_kf, n_ray)
+    return Mesh(devices, (kf_axis, ray_axis))
+
+
 def shard_window_buffers(buffers: WindowBuffers, mesh: Mesh) -> WindowBuffers:
-    """Place the window buffers with the keyframe-slot axis sharded."""
-    sharded = NamedSharding(mesh, P(DATA_AXIS))
+    """Place the window buffers with the keyframe-slot axis sharded; on a
+    2-axis mesh (make_mesh_2d) the per-slot point axis additionally
+    shards over RAY_AXIS."""
+    ray = RAY_AXIS if RAY_AXIS in mesh.axis_names else None
+    slot = NamedSharding(mesh, P(DATA_AXIS))
+    pts = NamedSharding(mesh, P(DATA_AXIS, ray))
     return WindowBuffers(
-        jax.device_put(buffers.dirs, sharded),
-        jax.device_put(buffers.depths, sharded),
-        jax.device_put(buffers.counts, sharded),
-        jax.device_put(buffers.sky_dirs, sharded),
-        jax.device_put(buffers.sky_counts, sharded),
-        jax.device_put(buffers.slot_valid, sharded),
+        jax.device_put(buffers.dirs, pts),
+        jax.device_put(buffers.depths, pts),
+        jax.device_put(buffers.counts, slot),
+        jax.device_put(buffers.sky_dirs, slot),
+        jax.device_put(buffers.sky_counts, slot),
+        jax.device_put(buffers.slot_valid, slot),
     )
 
 

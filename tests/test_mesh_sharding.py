@@ -84,3 +84,23 @@ def test_sharded_step_matches_single_device():
         params_1,
         params_8,
     )
+
+
+def test_2d_kf_x_ray_mesh_matches_single_device():
+    """(kf x ray) mesh: window slots data-parallel AND each slot's point
+    buffer sharded across the ray axis (GSPMD inserts the cross-shard
+    gather collectives)."""
+    from loner_tpu.parallel.mesh import make_mesh_2d
+
+    field_cfg, buffers, runner, w = _setup()
+    losses_1, twists_1, params_1 = _run(runner, field_cfg, buffers, w, mesh=None)
+    mesh = make_mesh_2d(4, 2)
+    losses_2d, twists_2d, params_2d = _run(runner, field_cfg, buffers, w, mesh=mesh)
+
+    np.testing.assert_allclose(losses_2d, losses_1, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(twists_2d, twists_1, rtol=2e-4, atol=1e-7)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-6),
+        params_1,
+        params_2d,
+    )
