@@ -101,7 +101,7 @@ SCHEDULE = [
     {
         "num_keyframes": 1,
         "iteration_schedule": [
-            {"num_iterations": 120, "freeze_poses": True, "freeze_sigma_mlp": False}
+            {"num_iterations": 90, "freeze_poses": True, "freeze_sigma_mlp": False}
         ],
     },
     {
