@@ -96,8 +96,10 @@ class OptimizerConfig:
     occ_update_every: int = 10
     prop_lr: float = 1e-3  # proposal-MLP Adam rate (PROPOSAL strategy)
     # Occupancy control points per ray for the PROPOSAL sampler (0 = half
-    # the sample count, the grid-path default). 129 gives 128 lane-aligned
-    # bins — plenty for the smooth MLP field at half the lookup cost.
+    # the sample count, the grid-path default). The smooth MLP field needs
+    # very few: the flagship uses 33 (32 lane-aligned bins) — quality
+    # parity with 65/129 at a fraction of the interval-lookup cost
+    # (docs/PERFORMANCE.md).
     prop_n_ctrl: int = 0
     # Stride over per-ray sample points for the proposal training term
     # (1 = every point, 4 = every 4th). The margin targets are piecewise
