@@ -249,8 +249,9 @@ class ProposalRaySampler:
     ``n_ctrl`` sets the occupancy control-grid resolution along each ray
     (bin count = n_ctrl - 1); default half the sample count like the grid
     path. The smooth MLP field needs far fewer control points than there
-    are samples — 129 (128 lane-aligned bins) halves the interval-lookup
-    traffic at reference scale with no measurable quality change."""
+    are samples — the flagship uses 33 (32 lane-aligned bins), quality-
+    parity with 65/129 at a fraction of the interval-lookup traffic
+    (docs/PERFORMANCE.md)."""
 
     def __init__(self, n_ctrl: Optional[int] = None) -> None:
         self._n_ctrl = n_ctrl
