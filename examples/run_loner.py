@@ -93,8 +93,14 @@ def run_trial(
         # Compile everything before the clock starts: the runtime.txt
         # real-time factor then measures steady-state SLAM, not XLA
         # compiles (which a deployed system pays once, offline, via the
-        # persistent compilation cache).
-        loner.warm_up(len(reader.read_scan(0)))
+        # persistent compilation cache). The warm-up point count must see
+        # the SAME filtering the streamed scans get — an FOV-masked scan
+        # can land in a different pow2 pad bucket than the raw one, which
+        # would push the real compiles back inside the loop.
+        scan0 = reader.read_scan(0)
+        if settings.system.lidar_fov.enabled:
+            scan0 = apply_fov_mask(scan0, settings.system.lidar_fov.range)
+        loner.warm_up(len(scan0))
 
     gt_offset = None
 

@@ -126,15 +126,16 @@ class FieldConfig:
     sigma_mlp_bias: bool = False
     compute_dtype: Any = jnp.float32
     # Fused Pallas kernel for the fourier sigma head (encode + MLP fwd/bwd
-    # VMEM-resident, ops/pallas/fourier_mlp.py). "auto" uses it on TPU
-    # (requires include_input=True), "xla" forces the pure-XLA path,
-    # "pallas" forces the kernel (interpret mode off-TPU is debug-only).
-    # Isolated A/B at the 2.1M-point training batch favors the kernel
-    # (fwd+bwd 41.3 vs 56.4 ms, docs/PERFORMANCE.md), but measured inside
-    # the FULL training step XLA wins (66.4 vs 73.3 ms/it) — its fusion
-    # with the surrounding sampler/compositing ops outweighs the isolated
-    # gap, so the flagship config pins sigma_kernel: xla.
-    sigma_kernel: str = "auto"
+    # VMEM-resident, ops/pallas/fourier_mlp.py). "xla" (the default) is
+    # the pure-XLA path, "pallas" forces the kernel (requires
+    # include_input=True; interpret mode off-TPU is debug-only), "auto"
+    # uses the kernel whenever on TPU. Isolated A/B at the 2.1M-point
+    # training batch favors the kernel (fwd+bwd 41.3 vs 56.4 ms,
+    # docs/PERFORMANCE.md), but measured inside the FULL training step XLA
+    # wins (66.4 vs 73.3 ms/it) — its fusion with the surrounding
+    # sampler/compositing ops outweighs the isolated gap — so the default
+    # is the documented/benchmarked XLA path and the kernel is opt-in.
+    sigma_kernel: str = "xla"
 
     @property
     def sigma_input_dim(self) -> int:
@@ -187,7 +188,7 @@ class FieldConfig:
                 nerf_cfg.get("sigma_mlp_bias", encoding == "fourier")
             ),
             compute_dtype=compute_dtype,
-            sigma_kernel=str(nerf_cfg.get("sigma_kernel", "auto")),
+            sigma_kernel=str(nerf_cfg.get("sigma_kernel", "xla")),
         )
 
 
