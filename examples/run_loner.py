@@ -32,11 +32,18 @@ from loner_tpu.datasets.scan_stream import ScanStreamReader, apply_fov_mask
 from loner_tpu.runtime.loner import Loner
 
 
-def build_synthetic_dataset(tmp_dir: str, num_scans: int = 100) -> str:
+def build_synthetic_dataset(
+    tmp_dir: str, num_scans: int = 100, with_camera: bool = False
+) -> str:
+    from loner_tpu.common.pose import Pose
     from loner_tpu.datasets.scan_stream import ScanStreamWriter
-    from loner_tpu.datasets.synthetic import VirtualLidar, generate_sequence
+    from loner_tpu.datasets.synthetic import (
+        VirtualCamera,
+        VirtualLidar,
+        generate_sequence,
+    )
 
-    scans, poses, ts, _, _ = generate_sequence(
+    scans, poses, ts, scene, _ = generate_sequence(
         num_scans=num_scans, lidar=VirtualLidar(num_channels=32, num_columns=512)
     )
     # Write to a staging dir and rename: an interrupted build must not
@@ -49,6 +56,10 @@ def build_synthetic_dataset(tmp_dir: str, num_scans: int = 100) -> str:
     writer = ScanStreamWriter(staging, meta={"sensor": "synthetic-box-room"})
     for s in scans:
         writer.add_scan(s)
+    if with_camera:
+        cam = VirtualCamera()
+        for i, s in enumerate(scans):
+            writer.add_image(cam.render(scene, Pose(poses[i])), s.get_start_time())
     writer.write_gt(poses, ts)
     os.rename(staging, tmp_dir)
     return tmp_dir
@@ -104,6 +115,13 @@ def run_trial(
 
     gt_offset = None
 
+    # Camera stream (intensity supervision): replayed in time order with
+    # the scans, like the reference's bag loop (run_loner.py:281-328).
+    image_files = (
+        [] if settings.system.lidar_only else reader.image_files()
+    )
+    next_img = 0
+
     start = time.time()
     init_time = None
     fov = settings.system.lidar_fov
@@ -112,6 +130,14 @@ def run_trial(
             init_time = scan.get_start_time()
         if duration is not None and scan.get_start_time() - init_time > duration:
             break
+        while next_img < len(image_files):
+            img, img_ts = reader.read_image(next_img)
+            if img_ts > scan.get_start_time():
+                break
+            from loner_tpu.common.sensors import Image
+
+            loner.process_rgb(Image(img, img_ts))
+            next_img += 1
         if fov.enabled:
             scan = apply_fov_mask(scan, fov.range)
         if len(scan) == 0:
@@ -145,6 +171,11 @@ def main() -> None:
     parser.add_argument(
         "--synthetic_scans", type=int, default=100,
         help="scan count when dataset_path is 'synthetic'",
+    )
+    parser.add_argument(
+        "--synthetic_camera", action="store_true",
+        help="also render virtual-camera images into the synthetic "
+             "dataset (intensity supervision)",
     )
     parser.add_argument("--gpu_ids", nargs="*", default=None, help="ignored (single-chip)")
     parser.add_argument(
@@ -185,10 +216,14 @@ def main() -> None:
     if args.dataset_path == "synthetic":
         n = args.synthetic_scans
         suffix = "" if n == 100 else f"_{n}"
+        if args.synthetic_camera:
+            suffix += "_cam"
         dataset_path = os.path.join("./outputs", f"synthetic_dataset{suffix}")
         if not os.path.exists(os.path.join(dataset_path, "scans")):
             print(f"Generating synthetic dataset ({n} scans)...")
-            build_synthetic_dataset(dataset_path, num_scans=n)
+            build_synthetic_dataset(
+                dataset_path, num_scans=n, with_camera=args.synthetic_camera
+            )
     else:
         dataset_path = args.dataset_path
 

@@ -20,10 +20,13 @@ def get_chunk_renderer(
     n_samples: int,
     ret_var: bool,
     use_occ: bool,
+    sigma_only: bool = True,
 ):
     """A jitted (rays, field_params, occ) -> outputs function, cached on
-    the LoadedModel so repeated scans/chunks reuse one executable."""
-    key = (n_samples, ret_var, use_occ)
+    the LoadedModel so repeated scans/chunks reuse one executable.
+    ``sigma_only=False`` additionally composites the intensity head's
+    color along each ray (reference renderer.py intensity images)."""
+    key = (n_samples, ret_var, use_occ, sigma_only)
     cache = model.render_cache
     if key in cache:
         return cache[key]
@@ -42,7 +45,7 @@ def get_chunk_renderer(
             sampler,
             n_samples=n_samples,
             perturb=0.0,
-            sigma_only=True,
+            sigma_only=sigma_only,
             occ_grid=occ,
             ret_var=ret_var,
             point_chunk=0,

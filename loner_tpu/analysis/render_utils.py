@@ -84,17 +84,22 @@ def render_depth_chunked(
     chunk: int = 2048,
     ret_var: bool = True,
     use_occ: bool = True,
+    with_intensity: bool = False,
 ) -> dict:
     """Render expected depth (meters) + variance along world-frame rays.
 
     Chunked like the reference's test-time path (model_tcnn.py:82-99 with
     N_samples_test=2048); deterministic (no perturb/noise).
+    ``with_intensity`` also composites the trained intensity head's color
+    (adds an 'rgb' (N, C) output).
     """
     from loner_tpu.analysis._render_impl import get_chunk_renderer
 
     cube = model.world_cube
     n = origins_world.shape[0]
-    render_chunk = get_chunk_renderer(model, n_samples, ret_var, use_occ)
+    render_chunk = get_chunk_renderer(
+        model, n_samples, ret_var, use_occ, sigma_only=not with_intensity
+    )
     occ = model.occ_grid if use_occ else None
 
     # Pad to a whole number of chunks so every dispatch shares ONE
@@ -107,7 +112,7 @@ def render_depth_chunked(
         [dirs_world, np.repeat(dirs_world[:1], n_padded - n, axis=0)]
     )
 
-    depths, variances, opacities = [], [], []
+    depths, variances, opacities, rgbs = [], [], [], []
     for i in range(0, n_padded, chunk):
         o = o_all[i : i + chunk]
         d = d_all[i : i + chunk]
@@ -120,6 +125,8 @@ def render_depth_chunked(
         out = render_chunk(rays, model.field_params, occ)
         depths.append(np.asarray(out["depth"]) * cube.scale_factor)
         opacities.append(np.asarray(out["opacity"]))
+        if with_intensity:
+            rgbs.append(np.asarray(out["rgb"]))
         if ret_var:
             variances.append(np.asarray(out["variance"]) * cube.scale_factor ** 2)
 
@@ -127,6 +134,8 @@ def render_depth_chunked(
         "depth": np.concatenate(depths)[:n],
         "opacity": np.concatenate(opacities)[:n],
     }
+    if with_intensity:
+        result["rgb"] = np.concatenate(rgbs)[:n]
     if ret_var:
         result["variance"] = np.concatenate(variances)[:n]
     return result

@@ -60,8 +60,11 @@ def render_dataset_frame(
     ray_range: Optional[Tuple[float, float]] = None,
     n_samples: int = 2048,
     chunk: int = 2048,
+    with_intensity: bool = False,
 ) -> dict:
-    """Render one frame; returns {'depth': (H, W), 'variance': (H, W)}."""
+    """Render one frame; returns {'depth': (H, W), 'variance': (H, W)}
+    plus 'intensity' (H, W, C) when requested (reference renderer.py's
+    color renders; needs a head trained via freeze_rgb_mlp: False)."""
     if ray_range is None:
         ray_range = tuple(
             float(x)
@@ -70,14 +73,18 @@ def render_dataset_frame(
     dirs_world = dirs_sensor @ pose_mat[:3, :3].T
     origins = np.broadcast_to(pose_mat[:3, 3], dirs_world.shape)
     out = render_depth_chunked(
-        model, origins, dirs_world, ray_range, n_samples=n_samples, chunk=chunk
+        model, origins, dirs_world, ray_range, n_samples=n_samples, chunk=chunk,
+        with_intensity=with_intensity,
     )
     h, w = image_shape
-    return {
+    result = {
         "depth": out["depth"].reshape(h, w),
         "variance": out["variance"].reshape(h, w),
         "opacity": out["opacity"].reshape(h, w),
     }
+    if with_intensity:
+        result["intensity"] = out["rgb"].reshape(h, w, -1)
+    return result
 
 
 def flythrough_poses(
@@ -121,8 +128,11 @@ def render_sequence(
     use_gt_poses: bool = False,
     n_samples: int = 1024,
     out_dir: Optional[str] = None,
+    with_intensity: bool = False,
 ) -> str:
-    """Render panoramic depth images at keyframe poses -> renders/*.npy + .png."""
+    """Render panoramic depth images at keyframe poses -> renders/*.npy + .png.
+    ``with_intensity`` additionally writes intensity_*.png from the
+    trained intensity head."""
     model = load_experiment(log_dir, ckpt_name)
     mats, _ = kf_pose_matrices(model, use_gt=use_gt_poses)
     dirs = spherical_ray_directions(width, height)
@@ -131,10 +141,18 @@ def render_sequence(
 
     for i, pose in enumerate(mats[::skip_step]):
         frame = render_dataset_frame(
-            model, pose, dirs, (height, width), n_samples=n_samples
+            model, pose, dirs, (height, width), n_samples=n_samples,
+            with_intensity=with_intensity,
         )
         np.save(os.path.join(out_dir, f"depth_{i:04d}.npy"), frame["depth"])
         _save_depth_png(frame["depth"], os.path.join(out_dir, f"depth_{i:04d}.png"))
+        if with_intensity:
+            np.save(
+                os.path.join(out_dir, f"intensity_{i:04d}.npy"), frame["intensity"]
+            )
+            _save_rgb_png(
+                frame["intensity"], os.path.join(out_dir, f"intensity_{i:04d}.png")
+            )
     return out_dir
 
 
@@ -203,6 +221,19 @@ def _save_depth_png(depth: np.ndarray, fname: str) -> None:
     plt.imsave(fname, depth, cmap="turbo")
 
 
+def _save_rgb_png(rgb: np.ndarray, fname: str) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rgb = np.clip(rgb, 0.0, 1.0)
+    if rgb.shape[-1] == 1:
+        plt.imsave(fname, rgb[..., 0], cmap="gray", vmin=0.0, vmax=1.0)
+    else:
+        plt.imsave(fname, rgb)
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -213,6 +244,10 @@ if __name__ == "__main__":
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--skip_step", type=int, default=1)
     p.add_argument("--use_gt_poses", action="store_true")
+    p.add_argument(
+        "--render_intensity", action="store_true",
+        help="also render intensity images from the trained head",
+    )
     p.add_argument(
         "--flythrough", action="store_true",
         help="render the spin-flythrough frame sequence instead",
@@ -238,5 +273,6 @@ if __name__ == "__main__":
                 height=args.height,
                 skip_step=args.skip_step,
                 use_gt_poses=args.use_gt_poses,
+                with_intensity=args.render_intensity,
             )
         )

@@ -107,6 +107,19 @@ class ScanStreamWriter:
         )
         self._count += 1
 
+    def add_image(self, image: np.ndarray, timestamp: float) -> None:
+        """Camera frame for the intensity-supervision path; (H, W, C)
+        float in [0, 1]. Images are optional — a lidar-only stream simply
+        never calls this."""
+        img_dir = os.path.join(self._root, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        n = len([f for f in os.listdir(img_dir) if f.endswith(".npz")])
+        np.savez_compressed(
+            os.path.join(img_dir, f"image_{n:06d}.npz"),
+            image=np.asarray(image, np.float32),
+            timestamp=np.float64(timestamp),
+        )
+
     def write_gt(self, poses: np.ndarray, timestamps: np.ndarray) -> None:
         from loner_tpu.common.trajectory import dump_trajectory_to_tum
 
@@ -148,6 +161,21 @@ class ScanStreamReader:
     def read_scan(self, idx: int) -> LidarScan:
         data = np.load(self._scan_files[idx])
         return LidarScan(data["directions"], data["distances"], data["timestamps"])
+
+    def image_files(self) -> List[str]:
+        img_dir = os.path.join(self._root, "images")
+        if not os.path.isdir(img_dir):
+            return []
+        return sorted(
+            os.path.join(img_dir, f)
+            for f in os.listdir(img_dir)
+            if f.endswith(".npz")
+        )
+
+    def read_image(self, idx: int):
+        """(image (H, W, C) float32, timestamp float)."""
+        data = np.load(self.image_files()[idx])
+        return data["image"], float(data["timestamp"])
 
     def __iter__(self) -> Iterator[Tuple[LidarScan, Optional[Pose]]]:
         for i in range(len(self)):

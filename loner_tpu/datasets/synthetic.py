@@ -67,6 +67,66 @@ class BoxRoomScene:
         return np.stack(out)
 
 
+def surface_intensity(points: np.ndarray) -> np.ndarray:
+    """Deterministic RGB albedo as a smooth function of the WORLD hit
+    position: exact ground truth for the intensity head (any rendered
+    pixel can be checked against the closed form). (N, 3) -> (N, 3) in
+    [0, 1]."""
+    p = np.asarray(points, np.float64)
+    r = 0.5 + 0.5 * np.sin(1.7 * p[:, 0]) * np.cos(1.3 * p[:, 1])
+    g = 0.5 + 0.5 * np.sin(1.1 * p[:, 1] + 0.5) * np.cos(0.9 * p[:, 2])
+    b = 0.5 + 0.5 * np.sin(0.8 * p[:, 2] + 1.0) * np.cos(1.5 * p[:, 0])
+    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0).astype(np.float32)
+
+
+# Camera axes in the lidar frame (camera z = lidar x forward, camera x =
+# -lidar y right, camera y = -lidar z down): the conventional optical-
+# frame extrinsic. Columns are the camera basis vectors in lidar coords.
+LIDAR_TO_CAMERA_ROT = np.array(
+    [[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]]
+)
+
+
+@dataclass
+class VirtualCamera:
+    """Pinhole camera rendering the analytic scene's surface intensity."""
+
+    width: int = 96
+    height: int = 64
+    fov_deg: float = 70.0
+
+    @property
+    def k(self) -> np.ndarray:
+        fx = 0.5 * self.width / np.tan(np.deg2rad(self.fov_deg) / 2.0)
+        return np.array(
+            [
+                [fx, 0.0, self.width / 2.0],
+                [0.0, fx, self.height / 2.0],
+                [0.0, 0.0, 1.0],
+            ]
+        )
+
+    def lidar_to_camera(self) -> Pose:
+        mat = np.eye(4)
+        mat[:3, :3] = LIDAR_TO_CAMERA_ROT
+        return Pose(mat)
+
+    def render(self, scene: BoxRoomScene, lidar_pose: Pose) -> np.ndarray:
+        """(H, W, 3) image in [0, 1] from the camera rigidly attached to
+        ``lidar_pose`` via the optical-frame extrinsic."""
+        from loner_tpu.common.camera import get_ray_directions
+
+        dirs_cam, _, _ = get_ray_directions(self.height, self.width, self.k)
+        cam_pose = lidar_pose * self.lidar_to_camera()
+        rot, t = cam_pose.get_rotation(), cam_pose.get_translation()
+        dirs_w = dirs_cam @ rot.T
+        dirs_w = dirs_w / np.linalg.norm(dirs_w, axis=-1, keepdims=True)
+        origins = np.broadcast_to(t, dirs_w.shape)
+        depth = scene.raycast(origins, dirs_w)
+        hits = origins + dirs_w * depth[:, None]
+        return surface_intensity(hits).reshape(self.height, self.width, 3)
+
+
 @dataclass
 class VirtualLidar:
     """Spinning lidar model: channels x azimuth columns, column-major time."""

@@ -8,6 +8,7 @@ optimized references and the trajectory splice at shutdown.
 """
 from __future__ import annotations
 
+import itertools
 from typing import Optional
 
 import numpy as np
@@ -15,9 +16,15 @@ import numpy as np
 from loner_tpu.common.frame import Frame
 from loner_tpu.common.pose import Pose
 
+# Process-wide monotonic keyframe ids: DeviceScanPool keys its
+# HBM-resident entries by this (an id() key could be reused by CPython
+# after GC and silently serve another keyframe's scan).
+_uid_counter = itertools.count()
+
 
 class KeyFrame:
     def __init__(self, frame: Frame) -> None:
+        self.uid = next(_uid_counter)
         self._frame = frame
         self._tracked_lidar_pose: Pose = frame.get_lidar_pose().clone()
         # The OPTIMIZED pose is keyframe-owned state. The tracker, logger

@@ -76,6 +76,50 @@ def _masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
     return (x * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
+def compute_camera_loss(
+    key: Optional[jax.Array],
+    rays: jax.Array,  # (B, 11) camera rays, cube coords
+    intensities: jax.Array,  # (B, C) sampled pixel values
+    valid: jax.Array,  # (B,) bool
+    field_params,
+    field_cfg,
+    sampler,
+    occ_grid,
+    n_samples: int,
+    perturb: float,
+    encode_fn=None,
+    point_chunk: int = 131072,
+    remat_blocks: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Camera-sample supervision for the intensity head: render the
+    sampled pixel rays (sigma detached — color-only training, reference
+    nerf_tcnn.py:66-69) and take the masked MSE against the image pixels.
+
+    The reference scaffolds this branch but never enables it
+    (build_camera_rays, keyframe.py:103-127; should_enable_camera
+    hardwired False, optimizer.py:433). Returns (mse, rendered_rgb)."""
+    result = render_rays(
+        key,
+        rays,
+        field_params,
+        field_cfg,
+        sampler,
+        n_samples=n_samples,
+        perturb=perturb,
+        raw_noise_std=0.0,
+        sigma_only=False,
+        detach_sigma=True,
+        occ_grid=occ_grid,
+        encode_fn=encode_fn,
+        point_chunk=point_chunk,
+        remat_blocks=remat_blocks,
+    )
+    rgb = result["rgb"]
+    err = (rgb - intensities) ** 2
+    mse = _masked_mean(err, jnp.broadcast_to(valid[:, None], err.shape))
+    return mse, rgb
+
+
 def compute_lidar_loss(
     key: Optional[jax.Array],
     rays: jax.Array,  # (B, 11), cube coords

@@ -47,6 +47,7 @@ class Mapper:
         world_cube: WorldCube,
         optimizer: Optional[Optimizer] = None,
         enable_sky_segmentation: bool = False,
+        calibration=None,
     ) -> None:
         self._frame_slot = frame_signal.register()
         self._keyframe_update_signal = keyframe_update_signal
@@ -63,6 +64,15 @@ class Mapper:
             field_cfg = FieldConfig.from_settings(
                 model_cfg.model.nerf_config, int(model_cfg.model.num_colors)
             )
+            # Multi-chip mesh: 0/absent = single device (mesh_devices is
+            # injected from system.mesh_devices by Loner.start).
+            mesh = None
+            n_mesh = int(settings.get("mesh_devices", 0) or 0)
+            if n_mesh > 1:
+                from loner_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh(n_mesh)
+            camera_rays = _build_camera_geometry(calibration)
             optimizer = Optimizer(
                 opt_cfg,
                 field_cfg,
@@ -72,6 +82,8 @@ class Mapper:
                 skip_pose_refinement=bool(settings.optimizer.skip_pose_refinement),
                 use_gt_poses=bool(settings.debug.get("use_groundtruth_poses", False)),
                 freeze_poses=bool(settings.optimizer.freeze_poses),
+                mesh=mesh,
+                camera_rays=camera_rays,
                 log_directory=settings.get("log_directory"),
                 profile_optimizer=bool(settings.debug.get("profile_optimizer", False)),
                 log_losses=bool(settings.debug.get("log_losses", False)),
@@ -204,3 +216,28 @@ def jax_tree_to_numpy(tree):
     import jax
 
     return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def _build_camera_geometry(calibration):
+    """(cam_dirs (HW, 3), lidar_to_camera (4, 4)) for the intensity-
+    training branch, or None when no camera intrinsics are configured
+    (lidar-only — the flagship mode)."""
+    if calibration is None:
+        return None
+    intr = calibration.camera_intrinsic
+    if intr.get("k") is None or intr.get("width") is None:
+        return None
+    from loner_tpu.common.camera import get_ray_directions
+    from loner_tpu.common.pose import Pose
+
+    k = np.asarray(intr.k, np.float64).reshape(3, 3)
+    new_k = intr.get("new_k")
+    new_k = k if new_k is None else np.asarray(new_k, np.float64).reshape(3, 3)
+    dist = intr.get("distortion")
+    dirs, _, _ = get_ray_directions(
+        int(intr.height), int(intr.width), new_k,
+        dist=None if dist is None else np.asarray(dist, np.float64),
+        k=k,
+    )
+    l2c = Pose.from_settings(calibration.lidar_to_camera).matrix
+    return dirs.astype(np.float32), np.asarray(l2c, np.float32)

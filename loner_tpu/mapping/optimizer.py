@@ -23,6 +23,7 @@ anchoring, and latest-kf-only semantics are preserved.
 from __future__ import annotations
 
 import time
+from contextlib import nullcontext as _nullcontext
 from dataclasses import dataclass, field as dc_field, replace
 from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
@@ -32,11 +33,14 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from loner_tpu.mapping.loss import LossConfig, compute_lidar_loss
+from loner_tpu.mapping.loss import LossConfig, compute_camera_loss, compute_lidar_loss
 from loner_tpu.mapping.rays import (
+    CameraWindowBuffers,
     DeviceScanPool,
     WindowBuffers,
+    build_camera_window_buffers,
     build_window_buffers,
+    sample_and_build_camera_rays,
     sample_and_build_rays,
 )
 from loner_tpu.models.field import FieldConfig, init_field_params
@@ -81,11 +85,19 @@ class OptimizerConfig:
 
     n_lidar_samples: int = 512
     n_sky_samples: int = 64
+    # Camera pixels sampled per keyframe per iteration when a phase
+    # trains the intensity head (freeze_rgb_mlp: False). 0 disables the
+    # camera branch entirely (lidar-only flagship). The reference
+    # scaffolds but never enables this path (should_enable_camera
+    # hardwired False, optimizer.py:433; freeze_rgb_head(True) at :234).
+    n_camera_samples: int = 0
+    cameraloss_lambda: float = 1.0
     n_samples_per_ray: int = 512
     perturb: float = 1.0
     raw_noise_std: float = 1.0
     lr_sigma: float = 0.01
     lr_pose: float = 0.001
+    lr_rgb: float = 0.01
     lr_gamma: float = 1.0
     # OGM = reference-parity occupancy voxel grid; PROPOSAL = TPU-native
     # proposal-MLP occupancy field (models/proposal.py); UNIFORM = none.
@@ -137,11 +149,16 @@ class OptimizerConfig:
         return OptimizerConfig(
             n_lidar_samples=int(opt_settings.num_samples.lidar),
             n_sky_samples=int(opt_settings.num_samples.sky),
+            n_camera_samples=int(dict(opt_settings.num_samples).get("camera", 0)),
+            cameraloss_lambda=float(
+                dict(model_cfg.loss).get("cameraloss_lambda", 1.0)
+            ),
             n_samples_per_ray=int(render.N_samples_train),
             perturb=float(render.perturb),
             raw_noise_std=float(render.raw_noise_std),
             lr_sigma=float(train.lrate_sigma_mlp),
             lr_pose=float(train.lrate_pose),
+            lr_rgb=float(dict(train).get("lrate_rgb", 0.01)),
             lr_gamma=float(train.lrate_gamma),
             samples_strategy=str(opt_settings.samples_selection.strategy),
             rays_strategy=rays_strategy,
@@ -220,6 +237,13 @@ def make_phase_runner(
     n_sky = cfg.n_sky_samples if cfg.enable_sky else 0
     optimize_poses = not phase.freeze_poses
     optimize_sigma = not phase.freeze_sigma_mlp
+    # Intensity-head training: when a phase unfreezes the RGB/intensity
+    # MLP, its params join opt_params under their own Adam transform and
+    # (if camera samples are configured) the camera-sample MSE branch
+    # supervises them. The reference parses freeze_rgb_mlp but hardwires
+    # the head frozen (optimizer.py:234 freeze_rgb_head(True)).
+    optimize_rgb = not phase.freeze_rgb_mlp
+    use_camera = optimize_rgb and cfg.n_camera_samples > 0
 
     # Training encode path. The custom-VJP encode saves gathered corner
     # features instead of rematerializing them, so the per-block
@@ -248,6 +272,8 @@ def make_phase_runner(
     }
     if use_prop:
         transforms["proposal"] = optax.adam(cfg.prop_lr)
+    if optimize_rgb:
+        transforms["rgb"] = _adam_with_schedule(cfg.lr_rgb, cfg.lr_gamma)
 
     def _labels(tree):
         lab = {
@@ -256,17 +282,21 @@ def make_phase_runner(
         }
         if "proposal" in tree:
             lab["proposal"] = jax.tree.map(lambda _: "proposal", tree["proposal"])
+        if "intensity" in tree:
+            lab["intensity"] = jax.tree.map(lambda _: "rgb", tree["intensity"])
         return lab
 
     tx = optax.multi_transform(transforms, param_labels=_labels)
 
-    def loss_fn(opt_params, static_intensity, occ_grid, buffers, world_scale,
-                world_shift, key, it_idx, global_step):
+    def loss_fn(opt_params, static_intensity, occ_grid, buffers, cam_buffers,
+                world_scale, world_shift, key, it_idx, global_step):
         field_params = {
             "sigma": opt_params["sigma"],
-            "intensity": static_intensity,
+            "intensity": opt_params["intensity"]
+            if optimize_rgb
+            else static_intensity,
         }
-        k_rays, k_render = jax.random.split(key)
+        k_rays, k_cam, k_render = jax.random.split(key, 3)
         rays, depths_cube, valid = sample_and_build_rays(
             k_rays,
             buffers,
@@ -323,8 +353,46 @@ def make_phase_runner(
                 opt_params["proposal"],
                 jax.lax.stop_gradient(aux["points"][:, ::sub]),
             )
-            prop_loss = jnp.mean(jax.lax.stop_gradient(logits_grad) * logits)
+            # Normalize over VALID rays (not the padded batch) so the
+            # effective proposal step size is invariant to how many
+            # window slots are empty — a 1-keyframe bootstrap window and
+            # a full window train the proposal at the same rate.
+            denom = jnp.maximum(
+                aux["valid"].sum().astype(logits.dtype) * z_sub.shape[1], 1.0
+            )
+            prop_loss = (
+                jnp.sum(jax.lax.stop_gradient(logits_grad) * logits) / denom
+            )
             loss = loss + prop_loss
+        if use_camera:
+            cam_rays, cam_intens, cam_valid = sample_and_build_camera_rays(
+                k_cam,
+                cam_buffers,
+                opt_params["twists"],
+                world_scale,
+                world_shift,
+                cfg.ray_range,
+                cfg.n_camera_samples,
+                buffers.slot_valid,
+            )
+            k_cam_render = jax.random.fold_in(k_render, 1)
+            cam_mse, _ = compute_camera_loss(
+                k_cam_render,
+                cam_rays,
+                cam_intens,
+                cam_valid,
+                field_params,
+                field_cfg,
+                sampler,
+                sampler_state,
+                cfg.n_samples_per_ray,
+                cfg.perturb,
+                encode_fn=encode_fn,
+                point_chunk=cfg.point_chunk,
+                remat_blocks=remat_blocks,
+            )
+            aux["camera_loss"] = cam_mse
+            loss = loss + cfg.cameraloss_lambda * cam_mse
         return loss, aux
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -335,6 +403,7 @@ def make_phase_runner(
         occ_grid,
         static_intensity,
         buffers: WindowBuffers,
+        cam_buffers,
         pose_mask: jax.Array,
         world_scale: jax.Array,
         world_shift: jax.Array,
@@ -343,7 +412,7 @@ def make_phase_runner(
         key: jax.Array,
     ):
         (loss, aux), grads = grad_fn(
-            opt_params, static_intensity, occ_grid, buffers,
+            opt_params, static_intensity, occ_grid, buffers, cam_buffers,
             world_scale, world_shift, key, it_idx.astype(jnp.float32),
             global_step.astype(jnp.float32),
         )
@@ -358,6 +427,8 @@ def make_phase_runner(
         masked = {"sigma": g_sigma, "twists": g_twists}
         if "proposal" in grads:
             masked["proposal"] = grads["proposal"]
+        if "intensity" in grads:
+            masked["intensity"] = grads["intensity"]
         grads = masked
 
         updates, opt_state = tx.update(grads, opt_state, opt_params)
@@ -402,10 +473,12 @@ def make_phase_runner(
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(opt_params, opt_state, occ_grid, static_intensity, buffers,
-             pose_mask, world_scale, world_shift, it_idx, global_step, key):
+             cam_buffers, pose_mask, world_scale, world_shift, it_idx,
+             global_step, key):
         return step_core(
             opt_params, opt_state, occ_grid, static_intensity, buffers,
-            pose_mask, world_scale, world_shift, it_idx, global_step, key,
+            cam_buffers, pose_mask, world_scale, world_shift, it_idx,
+            global_step, key,
         )
 
     # k iterations fused into ONE dispatched program: the per-dispatch
@@ -418,12 +491,13 @@ def make_phase_runner(
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def multi_step(opt_params, opt_state, occ_grid, static_intensity, buffers,
-                   pose_mask, world_scale, world_shift, it0, gs0, key):
+                   cam_buffers, pose_mask, world_scale, world_shift, it0, gs0,
+                   key):
         def body(carry, i):
             p, s, og = carry
             sub = jax.random.fold_in(key, i)
             p, s, og, loss, eps, extras = step_core(
-                p, s, og, static_intensity, buffers, pose_mask,
+                p, s, og, static_intensity, buffers, cam_buffers, pose_mask,
                 world_scale, world_shift, it0 + i, gs0 + i, sub,
             )
             return (p, s, og), (loss, eps, extras)
@@ -446,6 +520,7 @@ def make_phase_runner(
         key: jax.Array,
         num_iterations: int = None,
         extras_log: Optional[list] = None,
+        cam_buffers: Optional[CameraWindowBuffers] = None,
     ):
         n_iters = phase.num_iterations if num_iterations is None else num_iterations
         opt_params = {"sigma": field_params["sigma"], "twists": twists}
@@ -454,8 +529,12 @@ def make_phase_runner(
             # phases/checkpoints but is a trained parameter inside one.
             opt_params["proposal"] = occ_grid
             occ_grid = None
+        if optimize_rgb:
+            opt_params["intensity"] = field_params["intensity"]
+            static_intensity = None  # empty pytree; loss_fn ignores it
+        else:
+            static_intensity = field_params["intensity"]
         opt_state = tx.init(opt_params)
-        static_intensity = field_params["intensity"]
         step0 = int(global_step0)
 
         def collect(extras, k: int):
@@ -476,7 +555,7 @@ def make_phase_runner(
             while i + k_fused <= n_iters:
                 opt_params, opt_state, occ_grid, ls, es, extras = multi_step(
                     opt_params, opt_state, occ_grid, static_intensity, buffers,
-                    pose_mask, world_scale, world_shift,
+                    cam_buffers, pose_mask, world_scale, world_shift,
                     jnp.asarray(i, jnp.int32), jnp.asarray(step0 + i, jnp.int32),
                     jax.random.fold_in(key, i),
                 )
@@ -487,7 +566,7 @@ def make_phase_runner(
         while i < n_iters:
             opt_params, opt_state, occ_grid, loss, eps, extras = step(
                 opt_params, opt_state, occ_grid, static_intensity, buffers,
-                pose_mask, world_scale, world_shift,
+                cam_buffers, pose_mask, world_scale, world_shift,
                 jnp.asarray(i, jnp.int32), jnp.asarray(step0 + i, jnp.int32),
                 jax.random.fold_in(jax.random.fold_in(key, i), 1),
             )
@@ -496,7 +575,12 @@ def make_phase_runner(
             collect(extras, 1)
             i += 1
 
-        new_field = {"sigma": opt_params["sigma"], "intensity": static_intensity}
+        new_field = {
+            "sigma": opt_params["sigma"],
+            "intensity": opt_params["intensity"]
+            if optimize_rgb
+            else static_intensity,
+        }
         sampler_state = opt_params["proposal"] if use_prop else occ_grid
         return (
             new_field,
@@ -529,6 +613,8 @@ class Optimizer:
         freeze_poses: bool = False,
         seed: int = 0,
         encode_fn=None,
+        mesh=None,
+        camera_rays: Optional[Tuple[np.ndarray, np.ndarray]] = None,
         log_directory: Optional[str] = None,
         profile_optimizer: bool = False,
         verbose_timing: bool = False,
@@ -547,6 +633,15 @@ class Optimizer:
         self._use_gt_poses = use_gt_poses
         self._freeze_poses = freeze_poses
         self._encode_fn = encode_fn
+        # Multi-chip mesh (jax.sharding.Mesh): keyframe-window slots and
+        # their point buffers shard across devices; field/occ/pose state
+        # replicates and GSPMD all-reduces its gradients over ICI
+        # (parallel/mesh.py). None = single-device (the reference's only
+        # mode — it is single-GPU, SURVEY §2.2).
+        self._mesh = mesh
+        # Camera-supervision geometry: (cam_dirs (HW, 3) camera-frame
+        # pixel ray dirs, lidar_to_camera (4, 4)). None = lidar-only.
+        self._camera_rays = camera_rays
         self._log_directory = log_directory
         self._profile_optimizer = profile_optimizer
         self._verbose_timing = verbose_timing
@@ -574,6 +669,11 @@ class Optimizer:
             field_params=init_field_params(k_field, field_cfg),
             occ_grid=sampler_state,
         )
+        if self._mesh is not None:
+            from loner_tpu.parallel.mesh import replicate
+
+            self.state.field_params = replicate(self.state.field_params, self._mesh)
+            self.state.occ_grid = replicate(self.state.occ_grid, self._mesh)
         self._keyframe_count = 0
         self._runner_cache: Dict[tuple, Any] = {}
         self._scan_pool = DeviceScanPool()
@@ -607,6 +707,38 @@ class Optimizer:
             )
         return self._runner_cache[cache_key]
 
+    def _build_camera_buffers(self, window: List["KeyFrame"], w: int):
+        """Pack the window keyframes' images (where present) into the
+        fixed-shape camera buffers for the intensity-training branch."""
+        cam_dirs, lidar_to_camera = self._camera_rays
+        images = []
+        for i in range(w):
+            j = min(i, len(window) - 1)
+            img = window[j]._frame.image
+            images.append(None if img is None else img.image)
+        cam = build_camera_window_buffers(
+            images, cam_dirs, lidar_to_camera, w,
+            num_colors=self._field_cfg.num_colors,
+        )
+        if self._mesh is not None:
+            from loner_tpu.parallel.mesh import replicate
+
+            cam = replicate(cam, self._mesh)
+        return cam
+
+    def _window_classes_for_item(self, first_kf: int, last_kf: Optional[int]):
+        """Window size classes a schedule item can run at. KF#k optimizes
+        a window of min(k, W) keyframes, so only the item covering KF#1
+        ever sees the 1-keyframe (bootstrap) class; everything else runs
+        the full width. Meshes pin the full width (the slot axis shards)."""
+        w_full = self._cfg.window_size
+        classes = set()
+        if first_kf == 1:
+            classes.add(1 if self._mesh is None else w_full)
+        if last_kf is None or last_kf >= 2:
+            classes.add(w_full)
+        return classes
+
     def warm_up(self, n_points: int) -> float:
         """Pre-compile every phase runner the keyframe schedule can reach.
 
@@ -626,15 +758,41 @@ class Optimizer:
         wall-clock seconds spent.
         """
         t0 = time.time()
-        w = self._cfg.window_size
         rng = np.random.default_rng(0)
         d = rng.normal(size=(3, max(int(n_points), 1))).astype(np.float32)
         d /= np.linalg.norm(d, axis=0, keepdims=True) + 1e-9
         lo, hi = sorted(self._cfg.ray_range)
         depths = rng.uniform(lo + 0.1, hi - 0.1, d.shape[1]).astype(np.float32)
-        buffers = build_window_buffers([d], [depths], [None], w)
-        p = buffers.dirs.shape[1]
-        ps = buffers.sky_dirs.shape[1]
+
+        buffers_by_w: Dict[int, WindowBuffers] = {}
+        cam_by_w: Dict[int, Any] = {}
+
+        def get_buffers(w: int) -> WindowBuffers:
+            if w not in buffers_by_w:
+                b = build_window_buffers([d], [depths], [None], w)
+                if self._mesh is not None:
+                    from loner_tpu.parallel.mesh import shard_window_buffers
+
+                    b = shard_window_buffers(b, self._mesh)
+                buffers_by_w[w] = b
+            return buffers_by_w[w]
+
+        def get_cam(w: int):
+            if w not in cam_by_w:
+                cam_dirs, l2c = self._camera_rays
+                cam = build_camera_window_buffers(
+                    [None] * w, cam_dirs, l2c, w,
+                    num_colors=self._field_cfg.num_colors,
+                )
+                if self._mesh is not None:
+                    from loner_tpu.parallel.mesh import replicate
+
+                    cam = replicate(cam, self._mesh)
+                cam_by_w[w] = cam
+            return cam_by_w[w]
+
+        p = get_buffers(self._cfg.window_size).dirs.shape[1]
+        ps = get_buffers(self._cfg.window_size).sky_dirs.shape[1]
         k = fused_steps(self._cfg, self._extras_mode)
         if self._cfg.rays_strategy == "MASK":
             print(
@@ -653,16 +811,28 @@ class Optimizer:
                 sampler = init_proposal_params(k_prop, self._cfg.proposal)
             else:
                 sampler = jnp.zeros((1, 1, 1), jnp.float32)
-            return init_field_params(k_field, self._field_cfg), sampler
+            field_params = init_field_params(k_field, self._field_cfg)
+            if self._mesh is not None:
+                from loner_tpu.parallel.mesh import replicate
 
-        # Union the program kinds every reachable phase dispatches: two
-        # phases can share a cache key but need DIFFERENT programs (one
-        # divisible by k -> only the fused scan; another not -> also the
-        # single-step remainder), so first-occurrence dedup would leave a
-        # compile to land inside the real-time loop.
+                field_params = replicate(field_params, self._mesh)
+                sampler = replicate(sampler, self._mesh)
+            return field_params, sampler
+
+        # Union the program kinds every reachable (phase x window-class)
+        # combination dispatches: two phases can share a cache key but
+        # need DIFFERENT programs (one divisible by k -> only the fused
+        # scan; another not -> also the single-step remainder), so
+        # first-occurrence dedup would leave a compile to land inside the
+        # real-time loop.
         needs: Dict[tuple, set] = {}
         eff_phases: Dict[tuple, PhaseSettings] = {}
+        first_kf = 1
         for item in self._keyframe_schedule:
+            nk = int(item["num_keyframes"])
+            last_kf = None if nk == -1 else first_kf + nk - 1
+            w_classes = self._window_classes_for_item(first_kf, last_kf)
+            first_kf = first_kf if last_kf is None else last_kf + 1
             phases = [
                 PhaseSettings.from_dict(ph) for ph in item["iteration_schedule"]
             ]
@@ -673,37 +843,57 @@ class Optimizer:
                     phase.freeze_poses or self._freeze_poses or self._use_gt_poses
                 )
                 eff_phase = replace(phase, freeze_poses=freeze)
-                cache_key = (
-                    replace(eff_phase, num_iterations=0), w, p, ps,
-                    self._extras_mode,
-                )
-                n = int(phase.num_iterations)
-                kinds = needs.setdefault(cache_key, set())
-                if k > 1 and n >= k:
-                    kinds.add("fused")
-                if k == 1 or n % k != 0:
-                    kinds.add("single")
-                eff_phases[cache_key] = eff_phase
+                for w in w_classes:
+                    cache_key = (
+                        replace(eff_phase, num_iterations=0), w, p, ps,
+                        self._extras_mode,
+                    )
+                    n = int(phase.num_iterations)
+                    kinds = needs.setdefault(cache_key, set())
+                    if k > 1 and n >= k:
+                        kinds.add("fused")
+                    if k == 1 or n % k != 0:
+                        kinds.add("single")
+                    eff_phases[cache_key] = eff_phase
 
-        for cache_key, kinds in needs.items():
-            warm_iters = (k if "fused" in kinds else 0) + (
-                1 if "single" in kinds else 0
-            )
-            field_params, sampler = dummy_state()
-            runner = self._get_runner(eff_phases[cache_key], w, p, ps)
-            out = runner(
-                field_params,
-                sampler,
-                jnp.zeros((w, 6), jnp.float32),
-                buffers,
-                jnp.ones((w,), jnp.float32),
-                self._world_scale,
-                self._world_shift,
-                0,
-                jax.random.key(3),
-                num_iterations=warm_iters,
-            )
-            np.asarray(out[3])  # block until the compiles complete
+        mesh_ctx = (
+            jax.set_mesh(self._mesh) if self._mesh is not None else _nullcontext()
+        )
+        with mesh_ctx:
+            for cache_key, kinds in needs.items():
+                warm_iters = (k if "fused" in kinds else 0) + (
+                    1 if "single" in kinds else 0
+                )
+                eff_phase = eff_phases[cache_key]
+                w = cache_key[1]
+                use_cam = (
+                    not eff_phase.freeze_rgb_mlp
+                    and self._cfg.n_camera_samples > 0
+                    and self._camera_rays is not None
+                )
+                field_params, sampler = dummy_state()
+                runner = self._get_runner(eff_phase, w, p, ps)
+                twists0 = jnp.zeros((w, 6), jnp.float32)
+                mask0 = jnp.ones((w,), jnp.float32)
+                if self._mesh is not None:
+                    from loner_tpu.parallel.mesh import replicate
+
+                    twists0 = replicate(twists0, self._mesh)
+                    mask0 = replicate(mask0, self._mesh)
+                out = runner(
+                    field_params,
+                    sampler,
+                    twists0,
+                    get_buffers(w),
+                    mask0,
+                    self._world_scale,
+                    self._world_shift,
+                    0,
+                    jax.random.key(3),
+                    num_iterations=warm_iters,
+                    cam_buffers=get_cam(w) if use_cam else None,
+                )
+                np.asarray(out[3])  # block until the compiles complete
         return time.time() - t0
 
     # -- main entry ------------------------------------------------------------
@@ -723,15 +913,32 @@ class Optimizer:
         phases = self._select_schedule()
         num_its = sum(p.num_iterations for p in phases)
 
-        w = self._cfg.window_size
+        m = len(window)
+        # Window size class: a 1-keyframe window (the KF#1 bootstrap, 1000
+        # iterations by the reference schedule) runs a W=1 program — the
+        # full-window program would spend 7/8 of its compute on masked-out
+        # replica slots. Identical math (the loss normalizes over valid
+        # rays); ~WINDOW× cheaper bootstrap. Under a mesh the slot axis is
+        # the shard axis, so the full width is kept.
+        w = 1 if (m == 1 and self._mesh is None) else self._cfg.window_size
         use_mask = self._cfg.rays_strategy == "MASK"
         # Device scan pool: each keyframe's scan uploads once; the window
         # assembles on device (vs re-shipping all 8 slots every KF).
         buffers = self._scan_pool.build_window(window, w, use_mask)
+        if self._mesh is not None:
+            from loner_tpu.parallel.mesh import shard_window_buffers
+
+            buffers = shard_window_buffers(buffers, self._mesh)
         p = buffers.dirs.shape[1]
         ps = buffers.sky_dirs.shape[1]
 
-        m = len(window)
+        cam_buffers = None
+        if (
+            self._camera_rays is not None
+            and self._cfg.n_camera_samples > 0
+            and any(not ph.freeze_rgb_mlp for ph in phases)
+        ):
+            cam_buffers = self._build_camera_buffers(window, w)
         twists = np.zeros((w, 6), np.float32)
         anchored = np.zeros((w,), np.float32)
         for i in range(w):
@@ -739,6 +946,10 @@ class Optimizer:
             twists[i] = window[j].pose_twist(self._use_gt_poses)
             anchored[i] = 1.0 if (window[j].is_anchored or i >= m) else 0.0
         twists = jnp.asarray(twists)
+        if self._mesh is not None:
+            from loner_tpu.parallel.mesh import replicate
+
+            twists = replicate(twists, self._mesh)
 
         all_losses, all_eps = [], []
         # Streaming sink: per-dispatch debug records are written to disk
@@ -767,6 +978,10 @@ class Optimizer:
             )
         trace_ctx = optimizer_trace(self._log_directory, self._profile_optimizer)
         trace_ctx.__enter__()
+        mesh_ctx = (
+            jax.set_mesh(self._mesh) if self._mesh is not None else _nullcontext()
+        )
+        mesh_ctx.__enter__()
         for phase in phases:
             freeze_poses = (
                 phase.freeze_poses or self._freeze_poses or self._use_gt_poses
@@ -779,6 +994,10 @@ class Optimizer:
                 latest_only[m - 1] = 1.0
                 pose_mask = pose_mask * latest_only
             pose_mask = jnp.asarray(pose_mask)
+            if self._mesh is not None:
+                from loner_tpu.parallel.mesh import replicate
+
+                pose_mask = replicate(pose_mask, self._mesh)
 
             runner = self._get_runner(eff_phase, w, p, ps)
             self._key, sub = jax.random.split(self._key)
@@ -800,6 +1019,7 @@ class Optimizer:
                 sub,
                 num_iterations=eff_phase.num_iterations,
                 extras_log=extras_log,
+                cam_buffers=cam_buffers,
             )
             self.state.global_step += eff_phase.num_iterations
             all_losses.append(np.asarray(losses))
@@ -812,6 +1032,7 @@ class Optimizer:
                     self._keyframe_count, len(all_losses) - 1,
                 )
 
+        mesh_ctx.__exit__(None, None, None)
         trace_ctx.__exit__(None, None, None)
 
         if extras_log is not None:

@@ -133,6 +133,116 @@ def build_window_buffers(
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclass
+class CameraWindowBuffers:
+    """HBM-resident window of keyframe camera images, fixed shape.
+
+    The camera-supervision path (reference keyframe.py:103-127 +
+    ray_utils.py:176-214; dormant there — ``should_enable_camera`` is
+    hardwired False, optimizer.py:433 — live here): per-iteration pixel
+    sampling over these buffers trains the intensity head.
+
+    cam_dirs:   (HW, 3) CAMERA-frame pixel ray directions (undistorted,
+                shared across keyframes — one calibration per run)
+    intensities:(W, HW, C) per-keyframe pixel values in [0, 1]
+    has_image:  (W,) bool, False for slots without a matched image
+    lidar_to_camera: (4, 4) extrinsic (lidar pose -> camera pose)
+    """
+
+    cam_dirs: jax.Array
+    intensities: jax.Array
+    has_image: jax.Array
+    lidar_to_camera: jax.Array
+
+
+def build_camera_window_buffers(
+    images: List[Optional[np.ndarray]],  # per-slot (H, W, C) in [0,1] or None
+    cam_dirs: np.ndarray,  # (HW, 3) camera-frame pixel dirs
+    lidar_to_camera: np.ndarray,  # (4, 4)
+    window_size: int,
+    num_colors: int = 3,
+) -> CameraWindowBuffers:
+    """Pack per-keyframe images into fixed-shape device buffers. Slots
+    without an image hold zeros and are masked via ``has_image``."""
+    w = window_size
+    hw = cam_dirs.shape[0]
+    intens = np.zeros((w, hw, num_colors), np.float32)
+    has = np.zeros((w,), bool)
+    for i, img in enumerate(images[:w]):
+        if img is None:
+            continue
+        flat = np.asarray(img, np.float32).reshape(-1, img.shape[-1] if img.ndim == 3 else 1)
+        if flat.shape[-1] != num_colors:
+            flat = np.broadcast_to(flat[:, :1], (flat.shape[0], num_colors))
+        n = min(flat.shape[0], hw)
+        intens[i, :n] = flat[:n]
+        has[i] = True
+    return CameraWindowBuffers(
+        jnp.asarray(cam_dirs, jnp.float32),
+        jnp.asarray(intens),
+        jnp.asarray(has),
+        jnp.asarray(lidar_to_camera, jnp.float32),
+    )
+
+
+def sample_and_build_camera_rays(
+    key: jax.Array,
+    cam: CameraWindowBuffers,
+    twists: jax.Array,  # (W, 6)
+    world_scale: jax.Array,
+    world_shift: jax.Array,
+    ray_range: Tuple[float, float],
+    n_camera: int,
+    slot_valid: jax.Array,  # (W,) window-slot validity
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Sample pixel indices per slot and build LONER-format camera rays
+    on device (reference ray_utils.py:176-214 semantics: origin = camera
+    position in cube coords, far = cube-exit distance, near =
+    range[0]/scale).
+
+    Poses are stop_gradient'ed: camera supervision trains the INTENSITY
+    head only — pose optimization stays lidar-driven (the reference's
+    ``detach_rgb_from_poses`` knob, keyframe.py:117-119).
+
+    Returns (rays (B, 11), intensities (B, C), valid (B,)) with
+    B = W * n_camera.
+    """
+    w = twists.shape[0]
+    hw = cam.cam_dirs.shape[0]
+
+    u = jax.random.uniform(key, (w, n_camera))
+    idx = jnp.minimum((u * hw).astype(jnp.int32), hw - 1)
+
+    dirs_c = cam.cam_dirs[idx.reshape(-1)].reshape(w, n_camera, 3)
+    intens = jnp.take_along_axis(cam.intensities, idx[..., None], axis=1)
+
+    mats = jax.lax.stop_gradient(se3.twist_to_matrix(twists))  # (W, 4, 4)
+    cam_mats = mats @ cam.lidar_to_camera[None]
+
+    dirs_w = jnp.einsum(
+        "wij,wbj->wbi", cam_mats[:, :3, :3], dirs_c,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    dirs_w = dirs_w / jnp.linalg.norm(dirs_w, axis=-1, keepdims=True)
+    origins = (cam_mats[:, None, :3, 3] + world_shift) / world_scale
+    origins = jnp.broadcast_to(origins, dirs_w.shape)
+
+    b = w * n_camera
+    origins = origins.reshape(b, 3)
+    dirs_w = dirs_w.reshape(b, 3)
+    near = jnp.full((b,), ray_range[0] / world_scale, dtype=origins.dtype)
+    far = get_far_val(origins, dirs_w)
+
+    valid = jnp.broadcast_to(
+        (slot_valid & cam.has_image)[:, None], (w, n_camera)
+    ).reshape(b)
+    valid = valid & (jnp.abs(origins).max(axis=-1) <= 1.0)
+
+    rays = pack_rays(origins, dirs_w, near, far)
+    return rays, intens.reshape(b, -1), valid
+
+
 class DeviceScanPool:
     """Per-keyframe scan store resident in HBM.
 
@@ -148,10 +258,13 @@ class DeviceScanPool:
     compiled phase programs. A scan exceeding the current class migrates
     the pool (device-side re-pad; rare — scan sizes are sensor-fixed).
 
-    Entries are keyed by object identity of the keyframe and never
-    evicted: at ~1 MB per 65k-point scan, 16 GB of HBM holds hours of
-    keyframes (the reference equivalently keeps every KF scan in host
-    memory, src/mapping/keyframe_manager.py).
+    Entries are keyed by the keyframe's monotonic ``uid`` (never by
+    ``id()``, which CPython reuses after GC) and never evicted: at ~1 MB
+    per 65k-point scan, 16 GB of HBM holds hours of keyframes (the
+    reference equivalently keeps every KF scan in host memory,
+    src/mapping/keyframe_manager.py). If keyframe culling is ever added,
+    implement eviction here alongside it — the uid key guarantees a
+    stale entry can only miss, never alias another keyframe's scan.
     """
 
     def __init__(self, sky_pad: int = 4096) -> None:
@@ -200,19 +313,30 @@ class DeviceScanPool:
         assert 1 <= m <= w
         entries = []
         for kf in window:
-            key = (id(kf), use_mask)
+            key = (kf.uid, use_mask)
             if key not in self._entries:
                 self._entries[key] = self._pack(kf, use_mask)
             entries.append(self._entries[key])
         slots = [entries[min(i, m - 1)] for i in range(w)]
-        return WindowBuffers(
-            jnp.stack([e["dirs"] for e in slots]),
-            jnp.stack([e["depths"] for e in slots]),
-            jnp.asarray([e["count"] for e in slots], jnp.int32),
-            jnp.stack([e["sky_dirs"] for e in slots]),
-            jnp.asarray([e["sky_count"] for e in slots], jnp.int32),
-            jnp.asarray([i < m for i in range(w)]),
+        # ONE jitted dispatch for the whole assembly (vs one per stacked
+        # field): per-dispatch host->device latency dominates window
+        # assembly on tunneled/remote transports.
+        return _assemble_window(
+            tuple(e["dirs"] for e in slots),
+            tuple(e["depths"] for e in slots),
+            tuple(e["sky_dirs"] for e in slots),
+            np.asarray([e["count"] for e in slots], np.int32),
+            np.asarray([e["sky_count"] for e in slots], np.int32),
+            np.asarray([i < m for i in range(w)]),
         )
+
+
+@jax.jit
+def _assemble_window(dirs, depths, sky_dirs, counts, sky_counts, slot_valid):
+    return WindowBuffers(
+        jnp.stack(dirs), jnp.stack(depths), jnp.asarray(counts),
+        jnp.stack(sky_dirs), jnp.asarray(sky_counts), jnp.asarray(slot_valid),
+    )
 
 
 def sample_and_build_rays(

@@ -124,6 +124,9 @@ class Loner:
             s[sub]["experiment_name"] = self._experiment_name
             s[sub]["log_directory"] = self._log_directory
             s[sub]["lidar_only"] = self._lidar_only
+        # Multi-chip: shard the mapping optimization over an n-device mesh
+        # (system.mesh_devices; 0/absent = single device).
+        s["mapper"]["mesh_devices"] = int(s.system.get("mesh_devices", 0) or 0)
 
         # Debug flags ANDed with global enable (reference loner.py:157-162).
         debug = {
@@ -152,6 +155,7 @@ class Loner:
             self._keyframe_update_signal,
             self._world_cube,
             enable_sky_segmentation=bool(s.system.sky_segmentation),
+            calibration=None if self._lidar_only else s.calibration,
         )
         self._tracker = Tracker(s, self._rgb_signal, self._lidar_signal, self._frame_signal)
 

@@ -18,11 +18,19 @@ cfg/defaults.yaml:146-156). Everything is fixed-shape and jitted:
     matching Open3D's ICPConvergenceCriteria semantics
 
 Point clouds are padded to a static size with a validity mask.
+
+Scaling: correspondences and normals are brute-force O(N*M) on the MXU —
+FLOPs are cheap there; what must stay bounded is the materialized
+distance matrix. Beyond ~2^25 elements the row axis is blocked via
+lax.map (``_map_row_blocks``), so 16k-64k-point clouds run in constant
+memory (the default 5120-point tracker clouds stay single-tile — the
+fast path). SURVEY §2.3's grid-hash alternative trades MXU matmuls for
+per-point hashing, which is the slow direction on this hardware.
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +59,38 @@ def _pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
 
 
+# Memory envelope for the brute-force distance matrices: one (block, M)
+# tile at a time. 2^25 f32 elements = 128 MB — small against HBM/host
+# RAM, large enough that the default 5120-point clouds stay unblocked
+# (one fused dispatch, the fast path measured in docs/PERFORMANCE.md).
+_BLOCK_BUDGET_ELEMS = 1 << 25
+
+
+def _row_block(n: int, m: int) -> Optional[int]:
+    """Row-block size for an (n, m) distance computation, or None when
+    the whole matrix fits the budget (single tile, no lax.map)."""
+    if n * m <= _BLOCK_BUDGET_ELEMS:
+        return None
+    block = max(_BLOCK_BUDGET_ELEMS // m, 256)
+    # Largest power of two <= block that divides n (pad sizes are pow2).
+    b = 1
+    while b * 2 <= block and n % (b * 2) == 0:
+        b *= 2
+    return b
+
+
+def _map_row_blocks(fn, rows: jax.Array, m: int):
+    """Apply ``fn`` ((B, 3) rows -> pytree of (B, ...) outputs) over row
+    blocks of ``rows`` sized so each (B, m) distance tile stays inside
+    the budget; single call (no lax.map) when the whole matrix fits."""
+    n = rows.shape[0]
+    block = _row_block(n, m)
+    if block is None:
+        return fn(rows)
+    out = jax.lax.map(fn, rows.reshape(n // block, block, rows.shape[-1]))
+    return jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), out)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def estimate_normals(points: jax.Array, valid: jax.Array, k: int = 30) -> jax.Array:
     """k-NN PCA normals (Open3D estimate_normals default knn=30).
@@ -59,10 +99,16 @@ def estimate_normals(points: jax.Array, valid: jax.Array, k: int = 30) -> jax.Ar
     (arbitrary orientation — point-to-plane ICP squares the projection, so
     sign is irrelevant).
     """
-    d2 = _pairwise_sqdist(points, points)
-    # Push invalid columns to +inf so they're never neighbors.
-    d2 = jnp.where(valid[None, :], d2, jnp.inf)
-    _, idx = jax.lax.top_k(-d2, k)  # (N, k) nearest (incl. self)
+    def knn_rows(rows):
+        d2 = _pairwise_sqdist(rows, points)
+        # Push invalid columns to +inf so they're never neighbors.
+        d2 = jnp.where(valid[None, :], d2, jnp.inf)
+        _, nn = jax.lax.top_k(-d2, k)  # (B, k) nearest (incl. self)
+        return nn
+
+    # Row-blocked beyond the memory budget (16k+ clouds would otherwise
+    # materialize a gigabyte-scale N x N matrix).
+    idx = _map_row_blocks(knn_rows, points, points.shape[0])
     nbrs = points[idx]  # (N, k, 3)
     mean = nbrs.mean(axis=1, keepdims=True)
     centered = nbrs - mean
@@ -85,10 +131,15 @@ def _gauss_newton_step(
     max_dist: float,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One point-to-plane GN step. Returns (xi (6,), fitness, rmse)."""
-    d2 = _pairwise_sqdist(src_t, tgt)
-    d2 = jnp.where(tgt_valid[None, :], d2, jnp.inf)
-    nn_d2 = jnp.min(d2, axis=-1)
-    nn_idx = jnp.argmin(d2, axis=-1)
+
+    def nn_rows(rows):
+        d2 = _pairwise_sqdist(rows, tgt)
+        d2 = jnp.where(tgt_valid[None, :], d2, jnp.inf)
+        return jnp.min(d2, axis=-1), jnp.argmin(d2, axis=-1)
+
+    # Row-blocked beyond the memory budget (O(N*M) FLOPs stay — the MXU
+    # eats them; it's the materialized matrix that must stay bounded).
+    nn_d2, nn_idx = _map_row_blocks(nn_rows, src_t, tgt.shape[0])
 
     q = tgt[nn_idx]  # (N, 3)
     n = tgt_normals[nn_idx]

@@ -190,3 +190,48 @@ class TestEndToEnd:
         # The credible L1 record is the on-chip drive artifact
         # (outputs/tpu_drive_r2b/metrics/l1.yaml, docs/TPU_NATIVE.md).
         assert res["mean"] < 3.0, res
+
+
+class TestEndToEndMesh:
+    """Full SLAM through the public Loner API with the mapping
+    optimization sharded over the 8-device virtual mesh
+    (system.mesh_devices) — the production multi-chip path, not a
+    hand-assembled runner."""
+
+    @pytest.fixture(scope="class")
+    def mesh_slam_run(self, synthetic_dataset, tmp_path_factory):
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+        from run_loner import run_trial
+
+        log_prefix = str(tmp_path_factory.mktemp("outputs_mesh"))
+        settings = tiny_settings(log_prefix)
+        settings.augment(
+            {
+                "system": {"mesh_devices": 8},
+                # The slot axis shards over the mesh: window width must be
+                # a multiple of the mesh size.
+                "mapper": {
+                    "keyframe_manager": {"window_selection": {"window_size": 8}}
+                },
+            }
+        )
+        return run_trial(settings, synthetic_dataset, experiment_name="e2e_mesh")
+
+    def test_mesh_trajectory_ate(self, mesh_slam_run):
+        res = evaluate_trajectory_files(
+            os.path.join(mesh_slam_run, "trajectory", "estimated_trajectory.txt"),
+            os.path.join(mesh_slam_run, "trajectory", "groundtruth.txt"),
+            delta_m=1.0,
+        )
+        # Same quality bar as the single-device run: sharding must be
+        # semantically a no-op.
+        assert res["ate"]["rmse"] < 0.15, res["ate"]
+
+    def test_mesh_artifacts_exist(self, mesh_slam_run):
+        for f in [
+            "trajectory/estimated_trajectory.txt",
+            "checkpoints/final.tar",
+        ]:
+            assert os.path.exists(os.path.join(mesh_slam_run, f)), f

@@ -178,3 +178,43 @@ if __name__ == "__main__" or os.environ.get("RUN_ICP_PARITY_REPORT"):
 
     if os.environ.get("RUN_ICP_PARITY_REPORT"):
         _write_report()
+
+
+class TestLargeCloudBlocking:
+    """16k+ point clouds run through the row-blocked distance path
+    (tracking/icp.py::_map_row_blocks) in bounded memory, with the same
+    accuracy as the single-tile path."""
+
+    def test_row_block_sizing(self):
+        from loner_tpu.tracking.icp import _BLOCK_BUDGET_ELEMS, _row_block
+
+        # Default tracker pad: single tile (the fast path).
+        assert _row_block(5120, 5120) is None
+        b = _row_block(16384, 16384)
+        assert b is not None and 16384 % b == 0
+        assert b * 16384 <= _BLOCK_BUDGET_ELEMS
+
+    def test_16k_parity_vs_oracle(self):
+        # A denser virtual lidar than _make_scan's: 64 x 512 = 32k rays,
+        # strided to exactly 16384 points (the blocked regime).
+        scene = BoxRoomScene()
+        lidar = VirtualLidar(num_channels=64, num_columns=512, max_range=20.0)
+        mat = np.eye(4)
+        mat[:3, 3] = [0.5, -0.5, 1.0]
+        scan = make_scan(scene, lidar, Pose(mat), t_start=0.0)
+        pts = (scan.ray_directions * scan.distances[None, :]).T
+        pts = pts[np.linspace(0, pts.shape[0] - 1, 16384).astype(int)]
+        assert pts.shape[0] > 8192, "fixture must exercise the blocked path"
+        src, t_gt = _perturb(pts, rot_deg=3.0, trans_m=0.15, seed=5)
+
+        result = run_icp_schedule(src, pts, SCHEDULE, pad_size=16384)
+        ours_rot, ours_trans = _errors(
+            np.asarray(result.transformation, np.float64), t_gt
+        )
+        assert ours_rot < 0.3 and ours_trans < 0.02, (ours_rot, ours_trans)
+
+        t_ref = oracle_point_to_plane_icp(src, pts, SCHEDULE)
+        ref_rot, ref_trans = _errors(t_ref, t_gt)
+        # Same order of accuracy as the KD-tree oracle.
+        assert ours_rot < max(2.0 * ref_rot, 0.1) + 0.05
+        assert ours_trans < max(2.0 * ref_trans, 0.005) + 0.005

@@ -479,3 +479,68 @@ def test_mask_strategy_through_scan_pool():
     # The same pool keyed separately for unmasked use.
     full = pool.build_window([kf], 2, use_mask=False)
     assert int(full.counts[0]) == n
+
+
+class TestWindowSizeClasses:
+    """The KF#1 bootstrap runs a width-1 program (the full-window program
+    would spend W-1/W of its compute on masked-out replica slots)."""
+
+    def _schedule(self):
+        return [
+            {
+                "num_keyframes": 1,
+                "iteration_schedule": [
+                    {"num_iterations": 8, "freeze_poses": True,
+                     "freeze_sigma_mlp": False}
+                ],
+            },
+            {
+                "num_keyframes": -1,
+                "iteration_schedule": [
+                    {"num_iterations": 4, "freeze_poses": False,
+                     "freeze_sigma_mlp": False}
+                ],
+            },
+        ]
+
+    def test_bootstrap_uses_width_one_then_full(self):
+        kfs, cube, _, _ = make_keyframes(4)
+        opt = Optimizer(
+            small_opt_cfg(steps_per_dispatch=4),
+            small_field_cfg(),
+            cube.scale_factor,
+            cube.shift,
+            self._schedule(),
+            seed=3,
+        )
+        opt.iterate_optimizer([kfs[0]])
+        widths = {key[1] for key in opt._runner_cache}
+        assert widths == {1}
+        assert np.isfinite(opt.last_losses).all()
+
+        opt.iterate_optimizer(kfs[:3])
+        widths = {key[1] for key in opt._runner_cache}
+        assert widths == {1, opt._cfg.window_size}
+        assert np.isfinite(opt.last_losses).all()
+        # Optimized poses were written back finite.
+        for kf in kfs[:3]:
+            assert np.isfinite(kf.pose_twist()).all()
+
+    def test_warm_up_covers_both_width_classes(self):
+        kfs, cube, _, _ = make_keyframes(2)
+        opt = Optimizer(
+            small_opt_cfg(steps_per_dispatch=4),
+            small_field_cfg(),
+            cube.scale_factor,
+            cube.shift,
+            self._schedule(),
+            seed=3,
+        )
+        n_points = kfs[0].scan_dirs().shape[1]
+        opt.warm_up(n_points)
+        cached = len(opt._runner_cache)
+        assert {key[1] for key in opt._runner_cache} == {1, opt._cfg.window_size}
+        # Real windows at the same point count add no new runner keys.
+        opt.iterate_optimizer([kfs[0]])
+        opt.iterate_optimizer(kfs[:2])
+        assert len(opt._runner_cache) == cached

@@ -104,3 +104,61 @@ def test_2d_kf_x_ray_mesh_matches_single_device():
         params_1,
         params_2d,
     )
+
+
+def test_optimizer_class_under_mesh_matches_single_device():
+    """The production Optimizer with mesh= must compute the same
+    optimization as single-device (GSPMD sharding is numerically a no-op
+    modulo float reduction order)."""
+    from loner_tpu.mapping.optimizer import Optimizer
+
+    from test_mapping import make_keyframes, small_field_cfg, small_opt_cfg
+
+    schedule = [
+        {
+            "num_keyframes": -1,
+            "iteration_schedule": [
+                {"num_iterations": 6, "freeze_poses": False,
+                 "freeze_sigma_mlp": False}
+            ],
+        }
+    ]
+
+    def build(mesh):
+        return Optimizer(
+            small_opt_cfg(
+                samples_strategy="PROPOSAL", prop_n_ctrl=17,
+                steps_per_dispatch=3, window_size=4,
+            ),
+            small_field_cfg(),
+            cube.scale_factor,
+            cube.shift,
+            schedule,
+            seed=5,
+            mesh=mesh,
+        )
+
+    kfs_a, cube, _, _ = make_keyframes(3)
+    kfs_b, _, _, _ = make_keyframes(3)  # independent copies (poses mutate)
+
+    opt_a = build(None)
+    opt_b = build(make_mesh(4))
+
+    # m=2 window: both paths run the full window width (the bootstrap
+    # width-1 class applies only off-mesh), so RNG streams are identical.
+    opt_a.iterate_optimizer(kfs_a[:2])
+    opt_b.iterate_optimizer(kfs_b[:2])
+
+    # Element-wise param equality is NOT a usable check here: the hash
+    # table's backward is a scatter-add whose accumulation order differs
+    # under GSPMD, and Adam's 1/sqrt(v) normalization amplifies that
+    # float noise on rarely-hit entries. Behavioral outputs (losses,
+    # optimized poses) are averaged over thousands of samples and are the
+    # parity that matters.
+    for ka, kb in zip(kfs_a[:2], kfs_b[:2]):
+        np.testing.assert_allclose(
+            ka.pose_twist(), kb.pose_twist(), rtol=1e-3, atol=1e-4
+        )
+    np.testing.assert_allclose(
+        opt_a.last_losses, opt_b.last_losses, rtol=2e-3, atol=2e-4
+    )

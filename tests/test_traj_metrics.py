@@ -1,4 +1,5 @@
 """Golden tests for the native ATE/RPE implementation (evo replacement)."""
+import os
 import numpy as np
 import pytest
 from scipy.spatial.transform import Rotation as _R
@@ -98,3 +99,25 @@ class TestRPE:
         res = rpe(twisted, ts, poses, ts, delta_m=3.0, rotation=True)
         # 6 poses per 3 m -> ~0.03 rad = 1.7 deg per segment.
         assert res.mean == pytest.approx(np.rad2deg(0.03), rel=0.3)
+
+
+def test_mask_gt_with_trajectory(tmp_path):
+    """GT-map masking keeps exactly the points near the reconstruction
+    (reference examples/fusion_portable/mask_gt_with_trajectory.py)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from mask_gt_with_trajectory import mask_gt_map
+
+    rng = np.random.default_rng(0)
+    rec = rng.uniform(-1, 1, (500, 3))
+    near = rec[:200] + rng.normal(0, 0.01, (200, 3))   # within 0.1 m
+    far = rec[:100] + np.array([5.0, 0.0, 0.0])        # far away
+    gt = np.concatenate([near, far])
+    masked = mask_gt_map(gt, rec, dist_threshold=0.1)
+    np.testing.assert_allclose(masked, near)
+
+    # merged_transform re-poses the reconstruction before masking.
+    tf = np.eye(4)
+    tf[:3, 3] = [5.0, 0.0, 0.0]
+    masked_tf = mask_gt_map(gt, rec[:100], dist_threshold=0.1, transform=tf)
+    np.testing.assert_allclose(masked_tf, far)
