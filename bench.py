@@ -10,7 +10,7 @@ what must sustain >= 16.7 it/s for real-time operation.
 
 The scene representation is the TPU-native flagship configuration
 (cfg/model_config/tpu_native_model_config.yaml): Gaussian-Fourier-feature
-sigma field (bf16, 256x3-hidden MLP) + proposal-MLP importance sampler —
+sigma field (bf16, 256x2-hidden MLP) + proposal-MLP importance sampler —
 MXU-dense ops end to end, same box-room quality as the hash path (ATE
 RMSE 0.0171 m vs 0.0184 m; see docs/TPU_NATIVE.md). k=10 iterations are
 fused per dispatched program (lax.scan), so a 50-iteration measurement is
@@ -91,7 +91,7 @@ def main() -> None:
     field_cfg = FieldConfig(
         encoding_sigma="fourier",
         fourier_sigma=FourierConfig(n_freqs=48, scale=6.0),
-        sigma_mlp=MLPConfig(n_neurons=256, n_hidden_layers=3, output_dim=1),
+        sigma_mlp=MLPConfig(n_neurons=256, n_hidden_layers=2, output_dim=1),
         density_activation="softplus", sigma_mlp_bias=True,
         compute_dtype=jnp.bfloat16, sigma_kernel="xla",
         pos_encoding_intensity=HashEncodingConfig(log2_hashmap_size=19),

@@ -262,7 +262,17 @@ def main() -> None:
             # Each trial gets its OWN Settings copy: a running trial
             # mutates its settings (experiment_name, log paths, debug
             # flag ANDing), which must not leak into sibling trials.
-            jobs.append((copy.deepcopy(settings), config_idx, trial_idx))
+            trial_settings = copy.deepcopy(settings)
+            if args.num_repeats > 1:
+                # Offset the PRNG seed per trial: the pipeline is
+                # deterministic (explicit keys), so identical seeds would
+                # make every repeat bit-identical — the reference's
+                # 5-trial statistics rely on CUDA nondeterminism instead.
+                base = int(trial_settings.mapper.optimizer.get("seed", 0))
+                trial_settings.augment(
+                    {"mapper": {"optimizer": {"seed": base + trial_idx}}}
+                )
+            jobs.append((trial_settings, config_idx, trial_idx))
 
     def run_one(job, _device):
         settings, config_idx, trial_idx = job

@@ -34,6 +34,7 @@ def get_chunk_renderer(
     n_ctrl = trained_n_ctrl(model.settings)
     sampler = make_sampler(model.occ_grid if use_occ else None, n_ctrl=n_ctrl)
     field_cfg = model.field_cfg
+    compositor = configured_compositor(model.settings)
 
     @jax.jit
     def render_chunk(rays, field_params, occ):
@@ -49,10 +50,23 @@ def get_chunk_renderer(
             occ_grid=occ,
             ret_var=ret_var,
             point_chunk=0,
+            compositor=compositor,
         )
 
     cache[key] = render_chunk
     return render_chunk
+
+
+def configured_compositor(settings) -> str:
+    """Test-render compositor choice
+    (model_config.model.render.compositor: xla | pallas). The Pallas
+    fused-compositing kernel (ops/pallas/composite.py) applies to the
+    sigma-only inference case; "xla" is the default."""
+    try:
+        render = settings.mapper.optimizer.model_config.model.render
+        return str(dict(render).get("compositor", "xla"))
+    except Exception:
+        return "xla"
 
 
 def trained_n_ctrl(settings) -> Optional[int]:

@@ -54,7 +54,13 @@ class Mapper:
         self._settings = settings
         self._world_cube = world_cube
 
-        self._keyframe_manager = KeyFrameManager(settings.keyframe_manager)
+        # Per-trial seed (mapper.optimizer.seed): run_loner offsets it by
+        # the trial index so --num_repeats produces genuinely independent
+        # trials. The pipeline is otherwise deterministic (explicit PRNG
+        # keys everywhere) — the reference's trial variance comes free
+        # from CUDA nondeterminism; ours must be opted into.
+        seed = int(settings.optimizer.get("seed", 0))
+        self._keyframe_manager = KeyFrameManager(settings.keyframe_manager, seed=seed)
 
         if optimizer is None:
             model_cfg = settings.optimizer.model_config
@@ -79,6 +85,7 @@ class Mapper:
                 world_cube.scale_factor,
                 world_cube.shift,
                 settings.optimizer.keyframe_schedule,
+                seed=seed,
                 skip_pose_refinement=bool(settings.optimizer.skip_pose_refinement),
                 use_gt_poses=bool(settings.debug.get("use_groundtruth_poses", False)),
                 freeze_poses=bool(settings.optimizer.freeze_poses),

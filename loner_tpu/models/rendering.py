@@ -339,11 +339,18 @@ def render_rays(
     encode_fn=None,
     point_chunk: int = 131072,
     remat_blocks: bool = True,
+    compositor: str = "xla",
 ) -> Dict[str, jax.Array]:
     """Render a batch of rays (reference rendering_tcnn.py:192-267).
 
     rays: (N, 11). Returns dict with depth/weights/opacity/z_vals/points
     (names match the reference's *_fine keys minus the suffix).
+
+    ``compositor="pallas"`` routes the alpha compositing through the
+    fused VMEM kernel (ops/pallas/composite.py) on the supported
+    inference case (sigma-only, noise-free, TILE-aligned ray count) —
+    the test-render path's HBM-minimal option; anything else falls back
+    to the XLA ``raw2outputs``.
     """
     from loner_tpu.models.field import query_field
 
@@ -405,6 +412,35 @@ def render_rays(
         else:
             raw = eval_pts_dirs((flat_pts, flat_dirs))
     raw = raw.reshape(n_rays, s, -1)
+
+    use_pallas_comp = (
+        compositor == "pallas"
+        and sigma_only
+        and ret_var
+        and (raw_noise_std == 0 or key is None)
+    )
+    if use_pallas_comp:
+        from loner_tpu.ops.pallas.composite import TILE_B, composite_rays
+
+        if n_rays % TILE_B == 0:
+            depth, opacity, var, weights = composite_rays(
+                z_vals,
+                raw[..., 0],
+                far[:, 0],
+                jnp.linalg.norm(rays_d, axis=-1),
+                softplus=(
+                    getattr(field_cfg, "density_activation", "relu") == "softplus"
+                ),
+            )
+            out = {
+                "depth": depth,
+                "weights": weights,
+                "opacity": opacity,
+                "variance": var,
+                "z_vals": z_vals,
+                "points": pts,
+            }
+            return out
 
     out = raw2outputs(
         raw,

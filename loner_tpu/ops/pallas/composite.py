@@ -25,7 +25,8 @@ TILE_B = 256
 
 
 def _composite_kernel(z_ref, sigma_ref, far_ref, dnorm_ref,
-                      depth_ref, opacity_ref, var_ref, weights_ref):
+                      depth_ref, opacity_ref, var_ref, weights_ref,
+                      *, softplus: bool):
     z = z_ref[:]          # (TILE_B, S)
     sigma = sigma_ref[:]  # (TILE_B, S)
     far = far_ref[:]      # (TILE_B, 1)
@@ -40,7 +41,8 @@ def _composite_kernel(z_ref, sigma_ref, far_ref, dnorm_ref,
         1e10,
     ) * dnorm
 
-    alphas = 1.0 - jnp.exp(-deltas * jnp.maximum(sigma, 0.0))
+    act = jax.nn.softplus(sigma) if softplus else jnp.maximum(sigma, 0.0)
+    alphas = 1.0 - jnp.exp(-deltas * act)
     # transmittance T_i = prod_{j<i} (1 - a_j + 1e-10): exclusive cumprod
     # via a shifted inclusive cumprod (log/exp subtraction NaNs when a
     # term underflows: -inf - -inf).
@@ -59,17 +61,19 @@ def _composite_kernel(z_ref, sigma_ref, far_ref, dnorm_ref,
     weights_ref[:] = weights
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "softplus"))
 def composite_rays(
     z_vals: jax.Array,   # (B, S)
-    sigmas: jax.Array,   # (B, S) raw (pre-ReLU)
+    sigmas: jax.Array,   # (B, S) raw (pre-activation)
     far: jax.Array,      # (B,)
     rays_d_norm: jax.Array,  # (B,) |direction|
     interpret: bool = False,
+    softplus: bool = False,
 ):
     """Fused compositing. Returns (depth (B,), opacity (B,), variance (B,),
     weights (B, S)). Matches raw2outputs(..., sigma_only=True, far=...,
-    ret_var=True) without sigma noise (inference path)."""
+    ret_var=True) without sigma noise (inference path). ``softplus``
+    selects the fourier-flagship density activation (relu otherwise)."""
     b, s = z_vals.shape
     assert b % TILE_B == 0, f"ray count {b} must be a multiple of {TILE_B}"
     grid = (b // TILE_B,)
@@ -81,7 +85,7 @@ def composite_rays(
         return pl.BlockSpec((TILE_B, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     depth, opacity, var, weights = pl.pallas_call(
-        _composite_kernel,
+        functools.partial(_composite_kernel, softplus=softplus),
         grid=grid,
         in_specs=[row_spec(), row_spec(), scalar_spec(), scalar_spec()],
         out_specs=(scalar_spec(), scalar_spec(), scalar_spec(), row_spec()),

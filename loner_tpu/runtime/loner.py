@@ -202,6 +202,12 @@ class Loner:
                 self._logger.update()
                 time.sleep(0.1)
 
+        if self._single_threaded:
+            # Drain the tracker's pipelined ICP (one frame can still be
+            # in flight) and let the mapper consume it before finishing.
+            self._tracker.flush()
+            self._mapper.update()
+
         self._profiler.stop()
         self._logger.finish()
 

@@ -59,6 +59,18 @@ class Tracker:
         self._use_velocity_init = bool(
             self._settings.icp.get("constant_velocity_init", True)
         )
+        # Software-pipelined ICP (TPU-native; no reference analog — its
+        # Open3D ICP is a synchronous host call): frame i+1's fused ICP
+        # program is DISPATCHED (XLA async) before frame i's result is
+        # fetched, with the constant-velocity init chained as a device
+        # array, so the host<->device round trip of result i overlaps the
+        # execution of program i+1. Each frame's emission shifts one
+        # frame later (~1/frame_rate); the host-blocking time per frame
+        # collapses from a full dispatch round trip to a result fetch.
+        self._pipelined = bool(self._settings.icp.get("pipelined", True))
+        self._pending = None  # (frame, ICPResult, cloud)
+        self._last_relative_dev = None  # device-array init for the chain
+        self._good_cloud: Optional[np.ndarray] = None  # last ACCEPTED cloud
 
         self._frame_count = 0
         self._last_tracked_frame_time = 0.0
@@ -120,6 +132,10 @@ class Tracker:
         if self._lidar_slot.has_value():
             val = self._lidar_slot.get_value()
             if isinstance(val, StopSignal):
+                # Drain the ICP pipeline BEFORE confirming the stop: the
+                # mapper must see the last in-flight frame ahead of its
+                # own StopSignal (Loner emits it only after this flag).
+                self.flush()
                 self.processed_stop_signal = True
                 return True
             scan, gt_pose = val
@@ -129,26 +145,32 @@ class Tracker:
         while self._frame_synthesizer.has_frame():
             frame = self._frame_synthesizer.pop_frame()
             frame._id = self._frame_count
-            if not self.track_frame(frame):
-                print("Warning: Failed to track frame. Skipping.")
-                continue
-            if self._settings.get("compute_sky_rays", False):
-                self.compute_sky_rays(frame)
-            if self._settings.get("debug", {}).get("write_frame_point_clouds", False):
-                from loner_tpu.runtime.debug_artifacts import dump_frame_point_cloud
-
-                dump_frame_point_cloud(
-                    frame, self._settings.log_directory, self._frame_count
-                )
-            self._frame_signal.emit(frame)
             self._frame_count += 1
-            self._last_tracked_frame_time = frame.get_time()
-            num_tracked += 1
+            for done in self.track_frame(frame):
+                self._emit_frame(done)
+                num_tracked += 1
 
         if num_tracked > 0 and self._settings.get("debug", {}).get("log_times", False):
             with open(f"{self._settings.log_directory}/track_times.csv", "a+") as f:
                 f.write(f"{time.time() - tic},{num_tracked}\n")
         return did_work or num_tracked > 0
+
+    def _emit_frame(self, frame: Frame) -> None:
+        if self._settings.get("compute_sky_rays", False):
+            self.compute_sky_rays(frame)
+        if self._settings.get("debug", {}).get("write_frame_point_clouds", False):
+            from loner_tpu.runtime.debug_artifacts import dump_frame_point_cloud
+
+            dump_frame_point_cloud(
+                frame, self._settings.log_directory, frame._id
+            )
+        self._frame_signal.emit(frame)
+        self._last_tracked_frame_time = frame.get_time()
+
+    def flush(self) -> None:
+        """Resolve + emit any in-flight pipelined frame."""
+        for done in self.finish():
+            self._emit_frame(done)
 
     def run(self, shared_state: SharedState) -> None:
         self._shared_state = shared_state
@@ -182,33 +204,18 @@ class Tracker:
             )
         raise ValueError(f"Unrecognized downsample type {downsample_type}")
 
-    def track_frame(self, frame: Frame) -> bool:
-        cloud = self._build_icp_cloud(frame)
-
-        if self._reference_points is None:
-            # First frame anchors the coordinate system (tracker.py:186-196).
-            frame._lidar_pose = self._reference_pose.clone()
-            self._reference_points = cloud
-            self._reference_time = frame.get_middle_time()
-            return True
-
-        init = self._last_relative if self._use_velocity_init else None
-        result = run_icp_schedule(
+    def _dispatch_icp(self, cloud: np.ndarray, target: np.ndarray, init):
+        return run_icp_schedule(
             cloud,
-            self._reference_points,
+            target,
             [dict(s) for s in self._settings.icp.schedule],
             pad_size=self._icp_pad,
             init=init,
         )
-        registration = np.asarray(result.transformation, np.float64)
 
-        # Failure detection the reference lacks (its track_frame always
-        # returns True, tracker.py:118-120): reject degenerate registrations
-        # so one bad frame can't corrupt the reference cloud chain.
-        min_fitness = float(self._settings.icp.get("min_fitness", 0.1))
-        if not np.isfinite(registration).all() or float(result.fitness) < min_fitness:
-            return False
-
+    def _apply_registration(self, frame: Frame, registration: np.ndarray) -> None:
+        """Compose the tracked pose, motion-compensate, and advance the
+        good-chain state (reference tracker.py:225-254)."""
         tracked = Pose(self._reference_pose.matrix @ registration)
         new_reference_time = frame.get_middle_time()
         frame._lidar_pose = tracked
@@ -222,9 +229,114 @@ class Tracker:
 
         self._reference_time = new_reference_time
         self._reference_pose = tracked
-        self._reference_points = cloud
         self._last_relative = registration
-        return True
+
+    def _resolve_pending(self):
+        """Fetch the in-flight frame's ICP result. Returns (frame | None,
+        chain_ok)."""
+        frame, result, cloud = self._pending
+        self._pending = None
+        registration = np.asarray(result.transformation, np.float64)
+        min_fitness = float(self._settings.icp.get("min_fitness", 0.1))
+        ok = (
+            np.isfinite(registration).all()
+            and float(result.fitness) >= min_fitness
+        )
+        if not ok:
+            # Failure detection the reference lacks (its track_frame
+            # always returns True, tracker.py:118-120): drop the frame,
+            # restore the last good reference cloud, and break the
+            # device-chained velocity init (it holds the bad transform).
+            self._reference_points = self._good_cloud
+            self._last_relative_dev = None
+            return None, False
+        self._apply_registration(frame, registration)
+        self._good_cloud = cloud
+        return frame, True
+
+    def track_frame(self, frame: Frame):
+        """Track one frame. Returns the list of frames READY TO EMIT
+        (with poses set): in pipelined mode each frame's result resolves
+        when the next frame arrives, so the list holds the PREVIOUS
+        frame (or nothing at the pipeline head)."""
+        cloud = self._build_icp_cloud(frame)
+
+        if self._reference_points is None:
+            # First frame anchors the coordinate system (tracker.py:186-196).
+            frame._lidar_pose = self._reference_pose.clone()
+            self._reference_points = cloud
+            self._good_cloud = cloud
+            self._reference_time = frame.get_middle_time()
+            return [frame]
+
+        if not self._pipelined:
+            result = self._dispatch_icp(
+                cloud,
+                self._reference_points,
+                self._last_relative if self._use_velocity_init else None,
+            )
+            registration = np.asarray(result.transformation, np.float64)
+            min_fitness = float(self._settings.icp.get("min_fitness", 0.1))
+            if (
+                not np.isfinite(registration).all()
+                or float(result.fitness) < min_fitness
+            ):
+                print("Warning: Failed to track frame. Skipping.")
+                return []
+            self._apply_registration(frame, registration)
+            self._reference_points = cloud
+            self._good_cloud = cloud
+            return [frame]
+
+        # Pipelined: dispatch THIS frame's registration against the
+        # previous frame's cloud first (XLA async — returns immediately),
+        # with the velocity init chained as a DEVICE array (the previous
+        # program's output, consumed without any host sync)...
+        if self._use_velocity_init:
+            init = (
+                self._last_relative_dev
+                if self._last_relative_dev is not None
+                else self._last_relative
+            )
+        else:
+            init = None
+        result = self._dispatch_icp(cloud, self._reference_points, init)
+        self._last_relative_dev = result.transformation
+
+        # ...then fetch the PREVIOUS frame's result — its round trip
+        # overlapped this frame's arrival and program execution.
+        out = []
+        if self._pending is not None:
+            emitted, chain_ok = self._resolve_pending()
+            if emitted is not None:
+                out.append(emitted)
+            if not chain_ok:
+                print("Warning: Failed to track frame. Skipping.")
+                # The dispatch above registered against the REJECTED
+                # frame's cloud — redo it against the restored good
+                # reference (rare path; synchronous is fine).
+                result = self._dispatch_icp(
+                    cloud,
+                    self._reference_points,
+                    self._last_relative if self._use_velocity_init else None,
+                )
+                self._last_relative_dev = result.transformation
+
+        self._pending = (frame, result, cloud)
+        self._reference_points = cloud
+        return out
+
+    def finish(self):
+        """Drain the ICP pipeline: resolve + return the last in-flight
+        frame (call when the stream ends, before shutdown)."""
+        if self._pending is None:
+            return []
+        emitted, _ = self._resolve_pending()
+        if emitted is None:
+            print("Warning: Failed to track frame. Skipping.")
+            return []
+        self._good_cloud = self._reference_points
+        return [emitted]
 
     # -- sky rays --------------------------------------------------------------
     def compute_sky_rays(self, frame: Frame) -> None:

@@ -134,3 +134,31 @@ def test_fourier_mlp_fused_fwd_and_grads_match_xla():
     np.testing.assert_allclose(
         np.asarray(g_fused[1]) / scale, np.asarray(g_ref[1]) / scale, atol=5e-5
     )
+
+
+def test_composite_softplus_matches_raw2outputs():
+    """The softplus density activation (fourier-flagship path) in the
+    fused compositing kernel."""
+    rng = np.random.default_rng(3)
+    b, s = 256, 128
+    z = np.sort(rng.uniform(0.05, 0.9, (b, s)).astype(np.float32), axis=1)
+    sigma = rng.normal(0.0, 3.0, (b, s)).astype(np.float32)
+    far = np.full((b,), 0.95, np.float32)
+    dnorm = np.ones((b,), np.float32)
+
+    depth, opacity, var, weights = composite_rays(
+        jnp.asarray(z), jnp.asarray(sigma), jnp.asarray(far), jnp.asarray(dnorm),
+        interpret=True, softplus=True,
+    )
+    ref = raw2outputs(
+        jnp.asarray(sigma)[..., None],
+        jnp.asarray(z),
+        jnp.asarray(np.stack([dnorm, np.zeros(b), np.zeros(b)], 1)),
+        sigma_only=True,
+        far=jnp.asarray(far)[:, None],
+        ret_var=True,
+        softplus=True,
+    )
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref["depth"]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(opacity), np.asarray(ref["opacity"]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(weights), np.asarray(ref["weights"]), rtol=5e-3, atol=2e-4)
