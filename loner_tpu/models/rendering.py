@@ -418,6 +418,9 @@ def render_rays(
         and sigma_only
         and ret_var
         and (raw_noise_std == 0 or key is None)
+        # Mosaic lowering exists only on TPU; anywhere else the XLA
+        # compositor is the (equivalent) path.
+        and jax.default_backend() == "tpu"
     )
     if use_pallas_comp:
         from loner_tpu.ops.pallas.composite import TILE_B, composite_rays

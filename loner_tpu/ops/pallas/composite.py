@@ -43,11 +43,21 @@ def _composite_kernel(z_ref, sigma_ref, far_ref, dnorm_ref,
 
     act = jax.nn.softplus(sigma) if softplus else jnp.maximum(sigma, 0.0)
     alphas = 1.0 - jnp.exp(-deltas * act)
-    # transmittance T_i = prod_{j<i} (1 - a_j + 1e-10): exclusive cumprod
-    # via a shifted inclusive cumprod (log/exp subtraction NaNs when a
-    # term underflows: -inf - -inf).
-    terms = 1.0 - alphas + 1e-10
-    inclusive = jnp.cumprod(terms, axis=1)
+    # transmittance T_i = prod_{j<i} (1 - a_j + 1e-10). Mosaic lowers
+    # neither cumprod nor cumsum, so run a Hillis-Steele prefix sum over
+    # log(terms) by hand: log2(S) shifted adds, all VMEM-resident. Terms
+    # are >= 1e-10 by construction, so the log never produces -inf and
+    # the exp underflows gracefully to 0 for fully-absorbed suffixes.
+    logt = jnp.log(1.0 - alphas + 1e-10)
+    acc = logt
+    offset = 1
+    while offset < s:
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(acc[:, :offset]), acc[:, :-offset]], axis=1
+        )
+        acc = acc + shifted
+        offset *= 2
+    inclusive = jnp.exp(acc)
     trans = jnp.concatenate([jnp.ones_like(inclusive[:, :1]), inclusive[:, :-1]], axis=1)
     weights = alphas * trans
 

@@ -236,11 +236,16 @@ class Tracker:
         chain_ok)."""
         frame, result, cloud = self._pending
         self._pending = None
-        registration = np.asarray(result.transformation, np.float64)
+        # ONE batched fetch for transform + fitness (two np.asarray calls
+        # would pay the tunnel round trip twice).
+        import jax
+
+        reg32, fitness = jax.device_get((result.transformation, result.fitness))
+        registration = np.asarray(reg32, np.float64)
         min_fitness = float(self._settings.icp.get("min_fitness", 0.1))
         ok = (
             np.isfinite(registration).all()
-            and float(result.fitness) >= min_fitness
+            and float(fitness) >= min_fitness
         )
         if not ok:
             # Failure detection the reference lacks (its track_frame
@@ -275,11 +280,16 @@ class Tracker:
                 self._reference_points,
                 self._last_relative if self._use_velocity_init else None,
             )
-            registration = np.asarray(result.transformation, np.float64)
+            import jax
+
+            reg32, fitness = jax.device_get(
+                (result.transformation, result.fitness)
+            )
+            registration = np.asarray(reg32, np.float64)
             min_fitness = float(self._settings.icp.get("min_fitness", 0.1))
             if (
                 not np.isfinite(registration).all()
-                or float(result.fitness) < min_fitness
+                or float(fitness) < min_fitness
             ):
                 print("Warning: Failed to track frame. Skipping.")
                 return []

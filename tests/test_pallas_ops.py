@@ -51,26 +51,6 @@ def test_composite_empty_and_opaque():
     np.testing.assert_allclose(opacity[b // 2 :], 0.0, atol=1e-5)
 
 
-def test_fused_trilerp_mlp_matches_query_sigma():
-    from loner_tpu.models.field import FieldConfig, init_field_params, query_sigma
-    from loner_tpu.models.hash_encoding import HashEncodingConfig
-    from loner_tpu.ops.pallas.hash_mlp import query_sigma_fused
-
-    cfg = FieldConfig(
-        pos_encoding_sigma=HashEncodingConfig(n_levels=4, log2_hashmap_size=12),
-        pos_encoding_intensity=HashEncodingConfig(n_levels=2, log2_hashmap_size=10),
-        sigma_mlp=__import__(
-            "loner_tpu.models.field", fromlist=["MLPConfig"]
-        ).MLPConfig(n_neurons=64, n_hidden_layers=1, output_dim=1),
-    )
-    params = init_field_params(jax.random.key(0), cfg)
-    pos = jax.random.uniform(jax.random.key(1), (512, 3), minval=-0.8, maxval=0.8)
-
-    ref = np.asarray(query_sigma(params, pos, cfg))
-    fused = np.asarray(query_sigma_fused(params, pos, cfg, interpret=True))
-    np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-5)
-
-
 def test_fourier_mlp_fused_fwd_and_grads_match_xla():
     """Fused RFF+MLP kernel (fwd + custom VJP) vs the pure-XLA field path,
     including weight/bias gradients and the position gradients that carry
@@ -162,3 +142,42 @@ def test_composite_softplus_matches_raw2outputs():
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref["depth"]), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(opacity), np.asarray(ref["opacity"]), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(weights), np.asarray(ref["weights"]), rtol=5e-3, atol=2e-4)
+
+
+def test_compositor_knob_plumbing_and_cpu_fallback():
+    """model.render.compositor reaches the chunk renderer, and
+    compositor="pallas" on a non-TPU backend silently takes the XLA path
+    (Mosaic lowering exists only on TPU)."""
+    from loner_tpu.analysis._render_impl import configured_compositor
+    from loner_tpu.common.settings import Settings
+    from loner_tpu.models.field import FieldConfig, FourierConfig, MLPConfig, init_field_params
+    from loner_tpu.models.hash_encoding import HashEncodingConfig
+    from loner_tpu.models.rendering import UniformRaySampler, pack_rays, render_rays
+
+    s = Settings(
+        {"mapper": {"optimizer": {"model_config": {"model": {"render": {"compositor": "pallas"}}}}}}
+    )
+    assert configured_compositor(s) == "pallas"
+    assert configured_compositor(Settings({"mapper": {}})) == "xla"
+
+    cfg = FieldConfig(
+        encoding_sigma="fourier",
+        fourier_sigma=FourierConfig(n_freqs=8, scale=2.0),
+        sigma_mlp=MLPConfig(n_neurons=32, n_hidden_layers=1, output_dim=1),
+        density_activation="softplus", sigma_mlp_bias=True,
+        pos_encoding_intensity=HashEncodingConfig(n_levels=2, log2_hashmap_size=10),
+    )
+    params = init_field_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    b = 256  # TILE_B-aligned
+    o = jnp.asarray(rng.uniform(-0.2, 0.2, (b, 3)), jnp.float32)
+    d = rng.normal(size=(b, 3)); d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = pack_rays(o, jnp.asarray(d, jnp.float32), jnp.full((b,), 0.05), jnp.full((b,), 0.9))
+    out_p = render_rays(None, rays, params, cfg, UniformRaySampler(),
+                        n_samples=32, perturb=0.0, sigma_only=True, ret_var=True,
+                        point_chunk=0, compositor="pallas")
+    out_x = render_rays(None, rays, params, cfg, UniformRaySampler(),
+                        n_samples=32, perturb=0.0, sigma_only=True, ret_var=True,
+                        point_chunk=0, compositor="xla")
+    # On CPU both are the XLA compositor: identical outputs.
+    np.testing.assert_array_equal(np.asarray(out_p["depth"]), np.asarray(out_x["depth"]))
