@@ -71,13 +71,22 @@ class Mapper:
                 model_cfg.model.nerf_config, int(model_cfg.model.num_colors)
             )
             # Multi-chip mesh: 0/absent = single device (mesh_devices is
-            # injected from system.mesh_devices by Loner.start).
+            # injected from system.mesh_devices by Loner.start). An int N
+            # builds a 1-D keyframe-slot mesh; a [kf, ray] pair builds
+            # the 2-axis mesh that additionally shards each slot's point
+            # buffer over the ray axis (parallel/mesh.py::make_mesh_2d —
+            # for slices wider than the window).
             mesh = None
-            n_mesh = int(settings.get("mesh_devices", 0) or 0)
-            if n_mesh > 1:
+            n_mesh = settings.get("mesh_devices", 0) or 0
+            if isinstance(n_mesh, (list, tuple)):
+                from loner_tpu.parallel.mesh import make_mesh_2d
+
+                if int(n_mesh[0]) * int(n_mesh[1]) > 1:
+                    mesh = make_mesh_2d(int(n_mesh[0]), int(n_mesh[1]))
+            elif int(n_mesh) > 1:
                 from loner_tpu.parallel.mesh import make_mesh
 
-                mesh = make_mesh(n_mesh)
+                mesh = make_mesh(int(n_mesh))
             camera_rays = _build_camera_geometry(calibration)
             optimizer = Optimizer(
                 opt_cfg,

@@ -124,9 +124,10 @@ class Loner:
             s[sub]["experiment_name"] = self._experiment_name
             s[sub]["log_directory"] = self._log_directory
             s[sub]["lidar_only"] = self._lidar_only
-        # Multi-chip: shard the mapping optimization over an n-device mesh
-        # (system.mesh_devices; 0/absent = single device).
-        s["mapper"]["mesh_devices"] = int(s.system.get("mesh_devices", 0) or 0)
+        # Multi-chip: shard the mapping optimization over a device mesh
+        # (system.mesh_devices: int N for a 1-D keyframe-slot mesh, or
+        # [kf, ray] for the 2-axis mesh; 0/absent = single device).
+        s["mapper"]["mesh_devices"] = s.system.get("mesh_devices", 0) or 0
 
         # Debug flags ANDed with global enable (reference loner.py:157-162).
         debug = {

@@ -21,7 +21,7 @@ Point clouds are padded to a static size with a validity mask.
 
 Scaling: correspondences and normals are brute-force O(N*M) on the MXU —
 FLOPs are cheap there; what must stay bounded is the materialized
-distance matrix. Beyond ~2^25 elements the row axis is blocked via
+distance matrix. Beyond 2^26 elements the row axis is blocked via
 lax.map (``_map_row_blocks``), so 16k-64k-point clouds run in constant
 memory (the default 5120-point tracker clouds stay single-tile — the
 fast path). SURVEY §2.3's grid-hash alternative trades MXU matmuls for
@@ -59,17 +59,19 @@ def _pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
 
 
-# Memory envelope for the brute-force distance matrices: one (block, M)
-# tile at a time. 2^25 f32 elements = 128 MB — small against HBM/host
-# RAM, large enough that the default 5120-point clouds stay unblocked
-# (one fused dispatch, the fast path measured in docs/PERFORMANCE.md).
+# Memory envelope for the brute-force distance matrices. A full matrix
+# up to 2^26 f32 elements (256 MB) runs as ONE tile — this keeps both
+# the 5120-point tracker clouds and the 8192-point map-eval alignment on
+# the fast single-dispatch path. Beyond that, the row axis blocks into
+# (block, M) tiles of at most 2^25 elements (128 MB) each.
+_SINGLE_TILE_ELEMS = 1 << 26
 _BLOCK_BUDGET_ELEMS = 1 << 25
 
 
 def _row_block(n: int, m: int) -> Optional[int]:
     """Row-block size for an (n, m) distance computation, or None when
     the whole matrix fits the budget (single tile, no lax.map)."""
-    if n * m <= _BLOCK_BUDGET_ELEMS:
+    if n * m <= _SINGLE_TILE_ELEMS:
         return None
     block = max(_BLOCK_BUDGET_ELEMS // m, 256)
     # Largest power of two <= block that divides n (pad sizes are pow2).

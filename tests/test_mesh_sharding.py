@@ -162,3 +162,39 @@ def test_optimizer_class_under_mesh_matches_single_device():
     np.testing.assert_allclose(
         opt_a.last_losses, opt_b.last_losses, rtol=2e-3, atol=2e-4
     )
+
+
+def test_mapper_builds_2axis_mesh_from_config():
+    """system.mesh_devices: [kf, ray] reaches the production Optimizer as
+    a 2-axis mesh (slot axis x per-slot point axis)."""
+    from loner_tpu.common.settings import Settings
+    from loner_tpu.common.signals import Signal
+    from loner_tpu.common.world_cube import WorldCube
+    from loner_tpu.mapping.mapper import Mapper
+
+    s = Settings.load_from_file("cfg/defaults.yaml")
+    s.augment(
+        {
+            "mapper": {
+                "mesh_devices": [4, 2],
+                "keyframe_manager": {"window_selection": {"window_size": 4}},
+                "optimizer": {
+                    "samples_selection": {"strategy": "PROPOSAL"},
+                    "num_samples": {"lidar": 16, "sky": 0},
+                    "model_config": {
+                        "model": {"render": {"N_samples_train": 8, "N_samples_test": 8}}
+                    },
+                },
+            }
+        }
+    )
+    s["mapper"]["lidar_only"] = True
+    s["mapper"]["debug"] = s.debug  # Loner.start normally injects this
+    cube = WorldCube(scale_factor=10.0, shift=np.zeros(3))
+    mapper = Mapper(
+        s.mapper, Signal(single_process=True), Signal(single_process=True), cube
+    )
+    mesh = mapper.optimizer._mesh
+    assert mesh is not None
+    assert mesh.axis_names == ("data", "ray")
+    assert mesh.devices.shape == (4, 2)
