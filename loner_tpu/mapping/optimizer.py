@@ -131,6 +131,13 @@ class OptimizerConfig:
     # per-dispatch host/tunnel overhead by k; the remainder of a phase
     # runs on a single-step program.
     steps_per_dispatch: int = 10
+    # Block rematerialization for the point-eval path: "on" (default) or
+    # "off". On-chip A/B at flagship scale (8x512x512, 256x2 fourier,
+    # point_chunk=0) measured the two identical (33.5 vs 33.6 ms/it) —
+    # XLA's scheduling hides the recompute — so "on" stays default for
+    # its lower HBM watermark. Hash custom-VJP encodes force remat off
+    # regardless (their residuals are compact by construction).
+    remat: str = "on"
     loss: LossConfig = LossConfig()
 
     @staticmethod
@@ -173,6 +180,7 @@ class OptimizerConfig:
             encode_impl=str(dict(train).get("encode_impl", "vjp_bf16")),
             steps_per_dispatch=int(dict(train).get("steps_per_dispatch", 10)),
             point_chunk=int(dict(train).get("point_chunk", 131072)),
+            remat=str(dict(train).get("remat", "on")),
             loss=LossConfig.from_settings(model_cfg.loss),
         )
 
@@ -248,11 +256,14 @@ def make_phase_runner(
     # Training encode path. The custom-VJP encode saves gathered corner
     # features instead of rematerializing them, so the per-block
     # jax.checkpoint must be OFF for it (it would discard the residuals
-    # and re-gather, defeating the point). Only the HASH sigma encoding
-    # uses encode_fn — fourier configs keep block rematerialization
-    # (their per-block live set is MLP activations, exactly what the
-    # checkpoint bounds).
-    remat_blocks = True
+    # and re-gather, defeating the point). Fourier configs choose by
+    # cfg.remat (measured a wash at flagship scale; see OptimizerConfig).
+    if cfg.remat in ("on", "off"):
+        remat_blocks = cfg.remat == "on"
+    else:
+        raise RuntimeError(
+            f"Unrecognized remat mode '{cfg.remat}' (expected on, off)"
+        )
     uses_hash_sigma = field_cfg.encoding_sigma != "fourier"
     if cfg.encode_impl not in ("xla", "vjp_bf16", "vjp_f32"):
         raise RuntimeError(

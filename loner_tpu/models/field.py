@@ -21,6 +21,7 @@ on TPU keeps the MXU fed; the trilerp weighted-sums stay f32).
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
+from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
@@ -62,6 +63,12 @@ class FourierConfig:
     scale: float = 6.0
     include_input: bool = True
     seed: int = 1234
+    # "vjp": custom-VJP encode whose saved residuals are the bf16 output
+    # itself (no separate f32 sin/cos streams + converts — the training
+    # step is HBM-bandwidth-bound and the f32 residuals were ~15% of its
+    # bytes; docs/PERFORMANCE.md round 3). "xla": plain autodiff
+    # (f32 residuals — the correctness oracle).
+    encode_impl: str = "vjp"
 
     @property
     def output_dim(self) -> int:
@@ -74,6 +81,7 @@ class FourierConfig:
             scale=float(cfg.get("scale", 6.0)),
             include_input=bool(cfg.get("include_input", True)),
             seed=int(cfg.get("seed", 1234)),
+            encode_impl=str(cfg.get("encode_impl", "vjp")),
         )
 
 
@@ -88,7 +96,7 @@ def fourier_bmat(cfg: FourierConfig) -> jax.Array:
 
 
 def fourier_encode(pos01: jax.Array, cfg: FourierConfig) -> jax.Array:
-    """(N, 3) in [0, 1] -> (N, 2F [+3]) features."""
+    """(N, 3) in [0, 1] -> (N, 2F [+3]) features (f32, plain autodiff)."""
     proj = jnp.dot(
         pos01, fourier_bmat(cfg), precision=jax.lax.Precision.HIGHEST
     )
@@ -96,6 +104,50 @@ def fourier_encode(pos01: jax.Array, cfg: FourierConfig) -> jax.Array:
     if cfg.include_input:
         feats.append(pos01)
     return jnp.concatenate(feats, axis=-1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fourier_encode_vjp(pos01: jax.Array, cfg: FourierConfig, dtype) -> jax.Array:
+    """fourier_encode computing sin/cos in f32 (phase precision) but
+    emitting — and saving for backward — only ``dtype`` features.
+
+    With plain autodiff the f32 sin/cos stay live as residuals and the
+    MLP consumes separate bf16 converts; at 2M-point batches those f32
+    streams are pure HBM traffic on a bandwidth-bound step. Here the
+    residual IS the output buffer (aliased, zero extra bytes) and the
+    backward runs in ``dtype``:  dproj = g_sin*cos - g_cos*sin,
+    dpos = dproj @ B^T (+ g_input), accumulated in f32."""
+    out, _ = _fourier_encode_vjp_fwd(pos01, cfg, dtype)
+    return out
+
+
+def _fourier_encode_vjp_fwd(pos01, cfg: FourierConfig, dtype):
+    proj = jnp.dot(
+        pos01, fourier_bmat(cfg), precision=jax.lax.Precision.HIGHEST
+    )
+    feats = [jnp.sin(proj).astype(dtype), jnp.cos(proj).astype(dtype)]
+    if cfg.include_input:
+        feats.append(pos01.astype(dtype))
+    out = jnp.concatenate(feats, axis=-1)
+    return out, out
+
+
+def _fourier_encode_vjp_bwd(cfg: FourierConfig, dtype, out, g):
+    f = cfg.n_freqs
+    sin_d, cos_d = out[:, :f], out[:, f : 2 * f]
+    g = g.astype(dtype)
+    dproj = g[:, :f] * cos_d - g[:, f : 2 * f] * sin_d
+    dpos = jnp.dot(
+        dproj,
+        fourier_bmat(cfg).T.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if cfg.include_input:
+        dpos = dpos + g[:, 2 * f :].astype(jnp.float32)
+    return (dpos.astype(jnp.float32),)
+
+
+fourier_encode_vjp.defvjp(_fourier_encode_vjp_fwd, _fourier_encode_vjp_bwd)
 
 
 @dataclass(frozen=True)
@@ -250,6 +302,10 @@ def init_field_params(key: jax.Array, cfg: FieldConfig) -> Dict[str, Any]:
 
 def _encode_sigma(sigma_params, pos01, cfg: FieldConfig, encode_fn=None) -> jax.Array:
     if cfg.encoding_sigma == "fourier":
+        if cfg.fourier_sigma.encode_impl == "vjp":
+            return fourier_encode_vjp(
+                pos01, cfg.fourier_sigma, cfg.compute_dtype
+            )
         return fourier_encode(pos01, cfg.fourier_sigma)
     encode = encode_fn or hash_encode
     return encode(sigma_params["table"], pos01, cfg.pos_encoding_sigma)

@@ -124,6 +124,73 @@ class TestHashEncoding:
         assert float(jnp.abs(g).sum()) > 0
 
 
+class TestFourierEncodeVJP:
+    """The custom-VJP Fourier encode must match the plain-autodiff oracle.
+
+    fourier_encode_vjp saves the (possibly bf16) output as its only
+    residual and runs the backward in that dtype; in f32 it must be
+    exact, in bf16 within rounding of the oracle."""
+
+    def _grads(self, fn, pos, cfg):
+        def loss(p):
+            out = fn(p) if cfg is None else fn(p, cfg)
+            return jnp.sum(jnp.sin(out.astype(jnp.float32) * 0.7))
+
+        return jax.grad(loss)(pos)
+
+    @pytest.mark.parametrize("include_input", [True, False])
+    def test_f32_exact_vs_autodiff(self, include_input):
+        from loner_tpu.models.field import (
+            FourierConfig,
+            fourier_encode,
+            fourier_encode_vjp,
+        )
+
+        cfg = FourierConfig(n_freqs=32, include_input=include_input)
+        pos = jnp.asarray(
+            np.random.default_rng(3).uniform(size=(64, 3)), jnp.float32
+        )
+        out_ref = fourier_encode(pos, cfg)
+        out_vjp = fourier_encode_vjp(pos, cfg, jnp.float32)
+        np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_vjp))
+        g_ref = self._grads(lambda p, c: fourier_encode(p, c), pos, cfg)
+        g_vjp = self._grads(
+            lambda p, c: fourier_encode_vjp(p, c, jnp.float32), pos, cfg
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_ref), np.asarray(g_vjp), rtol=1e-6, atol=1e-6
+        )
+
+    def test_bf16_grads_near_oracle(self):
+        from loner_tpu.models.field import (
+            FourierConfig,
+            fourier_encode,
+            fourier_encode_vjp,
+        )
+
+        cfg = FourierConfig(n_freqs=64, include_input=True)
+        pos = jnp.asarray(
+            np.random.default_rng(7).uniform(size=(256, 3)), jnp.float32
+        )
+        out = fourier_encode_vjp(pos, cfg, jnp.bfloat16)
+        assert out.dtype == jnp.bfloat16
+        g_ref = self._grads(lambda p, c: fourier_encode(p, c), pos, cfg)
+        g_vjp = self._grads(
+            lambda p, c: fourier_encode_vjp(p, c, jnp.bfloat16), pos, cfg
+        )
+        # bf16 has ~3 decimal digits; judge error against the gradient's
+        # scale (element-wise relative error is meaningless where the
+        # oracle itself is near zero).
+        g_ref = np.asarray(g_ref)
+        err = np.abs(np.asarray(g_vjp) - g_ref)
+        assert float(err.max()) / float(np.abs(g_ref).max()) < 1e-2
+
+    def test_field_uses_vjp_by_default(self):
+        from loner_tpu.models.field import FourierConfig
+
+        assert FourierConfig().encode_impl == "vjp"
+
+
 class TestSHEncoding:
     def test_constant_term(self):
         dirs = jnp.asarray(np.random.default_rng(0).normal(size=(8, 3)), jnp.float32)
