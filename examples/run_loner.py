@@ -72,6 +72,7 @@ def run_trial(
     config_idx: int = None,
     trial_idx: int = None,
     duration: float = None,
+    resume_from: str = None,
 ) -> str:
     reader = ScanStreamReader(dataset_path)
 
@@ -97,8 +98,16 @@ def run_trial(
         config_idx=config_idx,
         trial_idx=trial_idx,
         traj_bounding_box=bbox,
+        log_directory=resume_from,
     )
     loner.start()
+
+    resume_idx = 0
+    if resume_from is not None:
+        from loner_tpu.runtime.resume import resume_run
+
+        resume_idx = resume_run(loner, reader, resume_from)
+        print(f"Resuming {resume_from} at scan {resume_idx}/{len(reader)}")
 
     if settings.system.get("precompile", False) and len(reader) > 0:
         # Compile everything before the clock starts: the runtime.txt
@@ -122,10 +131,28 @@ def run_trial(
     )
     next_img = 0
 
+    if resume_idx > 0 and reader.gt_interpolator is not None:
+        # The zero-origin offset must be the ORIGINAL run's (the first
+        # scan's GT) — deriving it from the first post-resume scan would
+        # re-zero the trajectory mid-sequence.
+        first = reader.read_scan(0).get_start_time()
+        if reader.gt_interpolator.contains(first):
+            gt_offset = reader.gt_interpolator.at(first).inv()
+
     start = time.time()
     init_time = None
     fov = settings.system.lidar_fov
-    for scan, gt in reader:
+
+    def stream():
+        gt_interp = reader.gt_interpolator
+        for i in range(resume_idx, len(reader)):
+            scan = reader.read_scan(i)
+            gt = None
+            if gt_interp is not None and gt_interp.contains(scan.get_start_time()):
+                gt = gt_interp.at(scan.get_start_time())
+            yield scan, gt
+
+    for scan, gt in stream():
         if init_time is None:
             init_time = scan.get_start_time()
         if duration is not None and scan.get_start_time() - init_time > duration:
@@ -161,8 +188,17 @@ def run_trial(
 
 def main() -> None:
     parser = argparse.ArgumentParser(description="Run LONER-TPU SLAM")
-    parser.add_argument("dataset_path", help="scan-stream dir or 'synthetic'")
-    parser.add_argument("config", help="path to the config yaml")
+    parser.add_argument(
+        "dataset_path", nargs="?", default=None,
+        help="scan-stream dir or 'synthetic'",
+    )
+    parser.add_argument("config", nargs="?", default=None, help="path to the config yaml")
+    parser.add_argument(
+        "--resume", default=None, metavar="LOGDIR",
+        help="continue a previous run from its newest full checkpoint "
+             "(config + dataset come from the run's full_config.pkl; "
+             "no reference analog — its checkpoints are analysis-only)",
+    )
     parser.add_argument("--experiment_name", default=None)
     parser.add_argument("--overrides", default=None, help="ablation overrides yaml")
     parser.add_argument("--run_all_combos", action="store_true")
@@ -195,6 +231,23 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.resume is not None:
+        import pickle
+
+        with open(os.path.join(args.resume, "full_config.pkl"), "rb") as f:
+            cfg_dict = pickle.load(f)
+        settings = Settings(cfg_dict)
+        run_trial(
+            settings,
+            settings["dataset_path"],
+            duration=args.duration,
+            resume_from=args.resume,
+        )
+        return
+
+    if args.dataset_path is None or args.config is None:
+        parser.error("dataset_path and config are required unless --resume is given")
 
     # Sequence-config support (reference per-sequence yamls): a file with
     # `baseline:` + `changes:` loads the baseline and applies the overlay;

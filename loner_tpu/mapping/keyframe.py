@@ -93,6 +93,26 @@ class KeyFrame:
     def set_pose_twist(self, twist: np.ndarray) -> None:
         self._lidar_pose = Pose.from_twist(np.asarray(twist, np.float64))
 
+    @classmethod
+    def from_pose_state(
+        cls, frame: Frame, state: dict, anchored: bool = False
+    ) -> "KeyFrame":
+        """Rebuild a keyframe from a checkpointed pose state (the
+        get_pose_state schema) + a re-read Frame — the mid-run resume
+        path (no reference analog: it has no resume, SURVEY §5.4). The
+        frame's pose is set to the TRACKED pose so the constructor
+        snapshot reproduces the original re-basing chain; the optimized
+        pose then overwrites the keyframe-owned slot."""
+        frame._lidar_pose = Pose.from_twist(
+            np.asarray(state["tracked_pose"], np.float64)
+        )
+        kf = cls(frame)
+        kf._lidar_pose = Pose.from_twist(
+            np.asarray(state["lidar_pose"], np.float64)
+        )
+        kf.is_anchored = anchored
+        return kf
+
     # -- checkpoint schema (reference keyframe.py:126-135) --------------------
     def get_pose_state(self) -> dict:
         lidar_to_camera = self._frame._lidar_to_camera

@@ -139,3 +139,10 @@ class KeyFrameManager:
 
     def get_poses_state(self) -> List[dict]:
         return [kf.get_pose_state() for kf in self._keyframes]
+
+    def restore(self, keyframes: List[KeyFrame]) -> None:
+        """Mid-run resume: adopt checkpoint-rebuilt keyframes. Gating
+        state (temporal/motion anchors) resumes from the newest one."""
+        self._keyframes = list(keyframes)
+        if self._keyframes:
+            self._last_accepted_frame_ts = self._keyframes[-1].get_time()

@@ -227,6 +227,31 @@ class Mapper:
         print("Saving Last Checkpoint to", path)
         save_checkpoint(path, self.build_ckpt())
 
+    def restore_from_checkpoint(self, ckpt: dict, kf_frames) -> None:
+        """Mid-run resume (runtime/resume.py): rebuild the keyframe set
+        from the checkpoint's pose states + re-read Frames and re-seat
+        the optimizer's map/pose state. ``kf_frames[i]`` must be the
+        Frame whose scan matches ``ckpt['poses'][i]['timestamp']``."""
+        from loner_tpu.mapping.keyframe import KeyFrame
+
+        states = ckpt["poses"]
+        if len(states) != len(kf_frames):
+            raise ValueError(
+                f"checkpoint has {len(states)} keyframes, got "
+                f"{len(kf_frames)} rebuilt frames"
+            )
+        keyframes = [
+            KeyFrame.from_pose_state(frame, state, anchored=(i == 0))
+            for i, (state, frame) in enumerate(zip(states, kf_frames))
+        ]
+        self._keyframe_manager.restore(keyframes)
+        self._optimizer.restore(
+            ckpt["network_state_dict"],
+            ckpt.get("occ_model_state_dict"),
+            ckpt["global_step"],
+            len(keyframes),
+        )
+
 
 def jax_tree_to_numpy(tree):
     import jax

@@ -691,6 +691,35 @@ class Optimizer:
         self.last_losses: Optional[np.ndarray] = None
         self.last_depth_eps: Optional[np.ndarray] = None
 
+    def restore(
+        self,
+        field_params,
+        occ_state,
+        global_step: int,
+        keyframe_count: int,
+    ) -> None:
+        """Mid-run resume from a full checkpoint (runtime/resume.py).
+
+        Adam state is intentionally NOT restored: it is created per
+        schedule phase (matching the reference, which builds a fresh
+        torch Adam per phase, src/mapping/optimizer.py:259-267), so the
+        checkpointed {params, occ/proposal state, poses, global_step}
+        fully determine the continuation."""
+        field_params = jax.tree.map(jnp.asarray, field_params)
+        if occ_state is not None:
+            occ_state = jax.tree.map(jnp.asarray, occ_state)
+        if self._mesh is not None:
+            from loner_tpu.parallel.mesh import replicate
+
+            field_params = replicate(field_params, self._mesh)
+            if occ_state is not None:
+                occ_state = replicate(occ_state, self._mesh)
+        self.state.field_params = field_params
+        if occ_state is not None:
+            self.state.occ_grid = occ_state
+        self.state.global_step = int(global_step)
+        self._keyframe_count = int(keyframe_count)
+
     # -- schedule ------------------------------------------------------------
     def _select_schedule(self) -> List[PhaseSettings]:
         """Pick the iteration schedule for the current keyframe count

@@ -42,6 +42,45 @@ class DefaultLogger:
         self._last_keyframe_state = None
         self._frame_done = False
 
+    def preload(self, prev_trajectory_dir: str, keyframe_states) -> None:
+        """Mid-run resume (runtime/resume.py): reload the accumulated
+        trajectories from a previous run's ``trajectory/`` directory and
+        re-seat the splice state at the checkpoint's last keyframe.
+        Frames tracked AFTER that keyframe are truncated — they were
+        never mapped, and resume re-streams and re-tracks them."""
+        from loner_tpu.common.trajectory import load_tum_trajectory
+
+        icp, ts = load_tum_trajectory(
+            os.path.join(prev_trajectory_dir, "tracking_only.txt")
+        )
+        online, _ = load_tum_trajectory(
+            os.path.join(prev_trajectory_dir, "online_estimates.txt")
+        )
+        kf_time = float(keyframe_states[-1]["timestamp"])
+        kf_idx = int(np.argmin(np.abs(ts - kf_time)))
+        keep = kf_idx + 1
+
+        self._timestamps = [float(t) for t in ts[:keep]]
+        self._icp_only = [np.asarray(m) for m in icp[:keep]]
+        self._frame_log = [np.asarray(m) for m in online[:keep]]
+
+        gt_file = os.path.join(prev_trajectory_dir, "groundtruth.txt")
+        if os.path.exists(gt_file):
+            gt, _ = load_tum_trajectory(gt_file)
+            self._gt_path = [np.asarray(m) for m in gt[:keep]]
+            # The preloaded GT is already zero-origined; incoming frames
+            # carry poses pre-offset by the ingest loop (which must use
+            # the ORIGINAL first scan's GT — run_loner resume mode does).
+            self._gt_pose_offset = Pose.identity()
+
+        self._last_keyframe_state = keyframe_states
+        self._t_world_to_kf = Pose.from_twist(
+            keyframe_states[-1]["lidar_pose"]
+        ).matrix
+        self._t_kf_to_frame = (
+            np.linalg.inv(self._icp_only[kf_idx]) @ self._icp_only[-1]
+        )
+
     def update(self) -> None:
         while self._frame_slot.has_value():
             frame = self._frame_slot.get_value()

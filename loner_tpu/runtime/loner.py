@@ -72,6 +72,7 @@ class Loner:
         config_idx: Optional[int] = None,
         trial_idx: Optional[int] = None,
         traj_bounding_box: Optional[dict] = None,
+        log_directory: Optional[str] = None,
     ) -> None:
         self._world_cube = compute_world_cube(
             camera_to_lidar if not self._lidar_only else None,
@@ -89,7 +90,13 @@ class Loner:
         expname = self._settings.get("experiment_name", "experiment")
         self._experiment_name = f"{expname}_{now_str}"
         prefix = os.path.expanduser(self._settings.system.log_dir_prefix)
-        if experiment_name is None:
+        if log_directory is not None:
+            # Mid-run resume (runtime/resume.py): continue in an existing
+            # run directory — CSV timing logs append, checkpoints keep
+            # numbering, config dumps are rewritten identically.
+            self._log_directory = os.path.abspath(log_directory)
+            self._experiment_name = os.path.basename(self._log_directory)
+        elif experiment_name is None:
             self._log_directory = os.path.join(prefix, self._experiment_name)
         else:
             self._log_directory = os.path.join(prefix, experiment_name)

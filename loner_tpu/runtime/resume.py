@@ -1,0 +1,180 @@
+"""Mid-run SLAM resume from a full checkpoint.
+
+The reference has NO resume — its checkpoints exist only for the offline
+analysis tools (SURVEY §5.4; src/mapping/mapper.py:161-175 writes them,
+nothing reloads them into a live run). Here the same artifact contract
+{global_step, network_state_dict, poses, occ/proposal state, world_cube}
+is sufficient to continue SLAM:
+
+- keyframes are rebuilt by re-reading their scans from the dataset at the
+  checkpointed timestamps (scans are immutable inputs — storing them in
+  the checkpoint would bloat it for no reason);
+- motion compensation is replayed exactly from ``tracking_only.txt`` (the
+  tracked-pose chain the original compensation used — the pipeline is
+  deterministic, so the recorded poses ARE the original ones);
+- the tracker chain re-seeds from the last keyframe's TRACKED pose, so
+  post-resume ICP and the keyframe manager's re-basing behave as if the
+  run never stopped;
+- the logger reloads its accumulated trajectories, truncated at the last
+  checkpointed keyframe (later frames were tracked but never mapped —
+  they re-stream).
+
+Restored state intentionally excludes Adam moments: the optimizer builds
+a fresh Adam per schedule phase (like the reference's per-phase param
+groups, src/mapping/optimizer.py:259-267), so there is nothing persistent
+to restore.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from loner_tpu.common.frame import Frame
+from loner_tpu.common.pose import Pose
+from loner_tpu.common.trajectory import load_tum_trajectory
+from loner_tpu.datasets.scan_stream import ScanStreamReader, apply_fov_mask
+from loner_tpu.mapping.mapper import load_checkpoint
+
+
+def find_resume_checkpoint(log_directory: str) -> Tuple[dict, str]:
+    """Locate the newest FULL checkpoint (one holding network state) in
+    ``<log_directory>/checkpoints``: ``final.tar`` if present, else the
+    highest-numbered full ``ckpt_<k>.tar`` (poses-only checkpoints are
+    skipped — they cannot seed the map)."""
+    ckpt_dir = os.path.join(log_directory, "checkpoints")
+    final = os.path.join(ckpt_dir, "final.tar")
+    if os.path.exists(final):
+        ckpt = load_checkpoint(final)
+        if "network_state_dict" in ckpt:
+            return ckpt, final
+    candidates = []
+    for name in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"ckpt_(\d+)\.tar", name)
+        if m:
+            candidates.append((int(m.group(1)), name))
+    for _, name in sorted(candidates, reverse=True):
+        path = os.path.join(ckpt_dir, name)
+        ckpt = load_checkpoint(path)
+        if "network_state_dict" in ckpt:
+            return ckpt, path
+    raise FileNotFoundError(
+        f"No full checkpoint (with network_state_dict) under {ckpt_dir}"
+    )
+
+
+def _scan_start_times(reader: ScanStreamReader) -> np.ndarray:
+    return np.asarray(
+        [reader.read_scan(i).get_start_time() for i in range(len(reader))]
+    )
+
+
+def _read_processed_scan(reader, idx: int, settings):
+    scan = reader.read_scan(idx)
+    fov = settings.system.lidar_fov
+    if fov.enabled:
+        scan = apply_fov_mask(scan, fov.range)
+    return scan
+
+
+def resume_run(loner, reader: ScanStreamReader, prev_log_directory: str) -> int:
+    """Restore a started ``Loner`` from ``prev_log_directory``'s newest
+    full checkpoint. Call AFTER ``loner.start()`` and BEFORE streaming
+    (and before ``warm_up``). Returns the index of the first scan to
+    stream (the one after the last checkpointed keyframe)."""
+    settings = loner._settings
+    ckpt, ckpt_path = find_resume_checkpoint(prev_log_directory)
+    states = ckpt["poses"]
+    if not states:
+        raise ValueError(f"{ckpt_path} holds no keyframes to resume from")
+
+    # The world cube must be bit-comparable: rays, poses and the field all
+    # live in its normalized coordinates.
+    if "world_cube" in ckpt:
+        cube = ckpt["world_cube"]
+        ours = loner.get_world_cube().as_dict()
+        if not (
+            np.allclose(cube["scale_factor"], ours["scale_factor"])
+            and np.allclose(cube["shift"], ours["shift"])
+        ):
+            raise ValueError(
+                f"World cube mismatch vs {ckpt_path}: checkpoint "
+                f"{cube}, recomputed {ours} — resume requires the same "
+                "dataset and world-cube settings."
+            )
+
+    track_file = os.path.join(
+        prev_log_directory, "trajectory", "tracking_only.txt"
+    )
+    track_poses, track_ts = load_tum_trajectory(track_file)
+
+    scan_ts = _scan_start_times(reader)
+    gt_interp = reader.gt_interpolator
+    gt0_inv = None
+    if gt_interp is not None:
+        gt0_inv = Pose(
+            np.linalg.inv(reader.gt_poses()[0])
+        )  # original run's zero-origin offset
+
+    tracker = loner._tracker
+    t_l2c = tracker._t_lidar_to_camera
+    motion_comp = bool(settings.tracker.motion_compensation.enabled)
+    sky = bool(settings.tracker.get("compute_sky_rays", False))
+
+    kf_frames: List[Frame] = []
+    last_scan_idx = -1
+    for state in states:
+        kf_time = float(state["timestamp"])
+        idx = int(np.argmin(np.abs(scan_ts - kf_time)))
+        if abs(scan_ts[idx] - kf_time) > 1e-3:
+            raise ValueError(
+                f"No scan matches keyframe timestamp {kf_time} "
+                f"(closest {scan_ts[idx]}) — wrong dataset for "
+                f"{ckpt_path}?"
+            )
+        last_scan_idx = max(last_scan_idx, idx)
+        scan = _read_processed_scan(reader, idx, settings)
+
+        frame = Frame(None, scan, t_l2c)
+        if gt_interp is not None and gt_interp.contains(kf_time):
+            frame._gt_lidar_pose = gt0_inv * gt_interp.at(kf_time)
+
+        # Replay the original motion compensation: the predecessor
+        # TRACKED frame's pose/time come from tracking_only.txt (exactly
+        # what the tracker used — _apply_registration interpolates from
+        # the previous frame's pose at its scan-middle time).
+        ti = int(np.argmin(np.abs(track_ts - kf_time)))
+        if motion_comp and ti > 0 and abs(track_ts[ti] - kf_time) <= 1e-3:
+            prev_ts = track_ts[ti - 1]
+            prev_idx = int(np.argmin(np.abs(scan_ts - prev_ts)))
+            prev_scan = reader.read_scan(prev_idx)
+            prev_mid = 0.5 * (
+                prev_scan.get_start_time() + prev_scan.get_end_time()
+            )
+            tracked = Pose.from_twist(
+                np.asarray(state["tracked_pose"], np.float64)
+            )
+            mid = 0.5 * (scan.get_start_time() + scan.get_end_time())
+            scan.motion_compensate(
+                (Pose(track_poses[ti - 1]), tracked), (prev_mid, mid), tracked
+            )
+        if sky:
+            tracker.compute_sky_rays(frame)
+        kf_frames.append(frame)
+
+    loner._mapper.restore_from_checkpoint(ckpt, kf_frames)
+
+    # Seed tracking from the newest keyframe (its pose is the tracked
+    # one after from_pose_state — see Tracker.seed_reference).
+    loner._tracker.seed_reference(kf_frames[-1])
+
+    if loner._logger is not None and os.path.exists(track_file):
+        loner._logger.preload(
+            os.path.join(prev_log_directory, "trajectory"), states
+        )
+
+    resume_time = float(states[-1]["timestamp"])
+    later = np.nonzero(scan_ts > resume_time + 1e-6)[0]
+    return int(later[0]) if len(later) else len(reader)

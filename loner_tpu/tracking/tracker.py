@@ -102,6 +102,26 @@ class Tracker:
         )
         return time.time() - t0
 
+    # -- resume --------------------------------------------------------------
+    def seed_reference(self, frame: Frame) -> None:
+        """Mid-run resume (runtime/resume.py): prime the tracking chain
+        from a restored keyframe. The frame's pose must be its TRACKED
+        pose — post-resume ICP then chains exactly like the original
+        run, and the keyframe manager's re-basing onto the optimized
+        reference stays a single correction (seeding with the optimized
+        pose would double-apply it)."""
+        cloud = self._build_icp_cloud(frame)
+        self._reference_points = cloud
+        self._good_cloud = cloud
+        self._reference_pose = frame.get_lidar_pose().clone()
+        self._reference_time = frame.get_middle_time()
+        self._last_relative = np.eye(4)
+        self._last_relative_dev = None
+        self._pending = None
+        self._last_tracked_frame_time = frame.get_time()
+        # Decimation cadence continues from the seed frame.
+        self._frame_synthesizer._prev_accepted_timestamp = frame.get_time()
+
     # -- pipeline ------------------------------------------------------------
     def update(self) -> bool:
         tic = time.time()

