@@ -162,6 +162,13 @@ class ScanStreamReader:
         data = np.load(self._scan_files[idx])
         return LidarScan(data["directions"], data["distances"], data["timestamps"])
 
+    def start_times(self) -> np.ndarray:
+        """(len(self),) scan start times, reading only each npz's
+        timestamps member (resume keyframe lookup, runtime/resume.py)."""
+        return np.asarray(
+            [float(np.load(f)["timestamps"][0]) for f in self._scan_files]
+        )
+
     def image_files(self) -> List[str]:
         img_dir = os.path.join(self._root, "images")
         if not os.path.isdir(img_dir):

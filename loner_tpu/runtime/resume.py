@@ -65,12 +65,6 @@ def find_resume_checkpoint(log_directory: str) -> Tuple[dict, str]:
     )
 
 
-def _scan_start_times(reader: ScanStreamReader) -> np.ndarray:
-    return np.asarray(
-        [reader.read_scan(i).get_start_time() for i in range(len(reader))]
-    )
-
-
 def _read_processed_scan(reader, idx: int, settings):
     scan = reader.read_scan(idx)
     fov = settings.system.lidar_fov
@@ -110,7 +104,7 @@ def resume_run(loner, reader: ScanStreamReader, prev_log_directory: str) -> int:
     )
     track_poses, track_ts = load_tum_trajectory(track_file)
 
-    scan_ts = _scan_start_times(reader)
+    scan_ts = reader.start_times()
     gt_interp = reader.gt_interpolator
     gt0_inv = None
     if gt_interp is not None:
@@ -122,6 +116,16 @@ def resume_run(loner, reader: ScanStreamReader, prev_log_directory: str) -> int:
     t_l2c = tracker._t_lidar_to_camera
     motion_comp = bool(settings.tracker.motion_compensation.enabled)
     sky = bool(settings.tracker.get("compute_sky_rays", False))
+
+    # Camera mode: keyframes carry their matched image (intensity
+    # supervision). Rebuild the match with frame-synthesis semantics —
+    # an image whose timestamp falls inside the scan's sweep (missing
+    # matches degrade gracefully: the camera buffers mask empty slots).
+    image_index: List[Tuple[float, int]] = []
+    if not settings.system.lidar_only:
+        for i in range(len(reader.image_files())):
+            _, img_ts = reader.read_image(i)
+            image_index.append((img_ts, i))
 
     kf_frames: List[Frame] = []
     last_scan_idx = -1
@@ -140,6 +144,18 @@ def resume_run(loner, reader: ScanStreamReader, prev_log_directory: str) -> int:
         frame = Frame(None, scan, t_l2c)
         if gt_interp is not None and gt_interp.contains(kf_time):
             frame._gt_lidar_pose = gt0_inv * gt_interp.at(kf_time)
+        if image_index:
+            from loner_tpu.common.sensors import Image
+
+            tol = float(
+                settings.tracker.frame_synthesis.get("frame_match_tolerance", 0.01)
+            )
+            s0, s1 = scan.get_start_time(), scan.get_end_time()
+            for img_ts, ii in image_index:
+                if s0 - tol <= img_ts <= s1 + tol:
+                    img, its = reader.read_image(ii)
+                    frame.image = Image(img, its)
+                    break
 
         # Replay the original motion compensation: the predecessor
         # TRACKED frame's pose/time come from tracking_only.txt (exactly
