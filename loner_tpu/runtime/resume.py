@@ -73,37 +73,19 @@ def _read_processed_scan(reader, idx: int, settings):
     return scan
 
 
-def resume_run(loner, reader: ScanStreamReader, prev_log_directory: str) -> int:
-    """Restore a started ``Loner`` from ``prev_log_directory``'s newest
-    full checkpoint. Call AFTER ``loner.start()`` and BEFORE streaming
-    (and before ``warm_up``). Returns the index of the first scan to
-    stream (the one after the last checkpointed keyframe)."""
-    settings = loner._settings
-    ckpt, ckpt_path = find_resume_checkpoint(prev_log_directory)
-    states = ckpt["poses"]
-    if not states:
-        raise ValueError(f"{ckpt_path} holds no keyframes to resume from")
-
-    # The world cube must be bit-comparable: rays, poses and the field all
-    # live in its normalized coordinates.
-    if "world_cube" in ckpt:
-        cube = ckpt["world_cube"]
-        ours = loner.get_world_cube().as_dict()
-        if not (
-            np.allclose(cube["scale_factor"], ours["scale_factor"])
-            and np.allclose(cube["shift"], ours["shift"])
-        ):
-            raise ValueError(
-                f"World cube mismatch vs {ckpt_path}: checkpoint "
-                f"{cube}, recomputed {ours} — resume requires the same "
-                "dataset and world-cube settings."
-            )
-
-    track_file = os.path.join(
-        prev_log_directory, "trajectory", "tracking_only.txt"
-    )
-    track_poses, track_ts = load_tum_trajectory(track_file)
-
+def rebuild_keyframe_frames(
+    reader: ScanStreamReader,
+    settings,
+    states,
+    t_l2c,
+    track_poses,
+    track_ts,
+    compute_sky_rays=None,
+) -> List[Frame]:
+    """Rebuild the checkpointed keyframes' Frames by re-reading their
+    scans and replaying the original motion compensation from the
+    tracked-pose chain (``tracking_only.txt`` contents). Shared by the
+    mid-run resume path and offline state-fidelity diagnostics."""
     scan_ts = reader.start_times()
     gt_interp = reader.gt_interpolator
     gt0_inv = None
@@ -112,10 +94,7 @@ def resume_run(loner, reader: ScanStreamReader, prev_log_directory: str) -> int:
             np.linalg.inv(reader.gt_poses()[0])
         )  # original run's zero-origin offset
 
-    tracker = loner._tracker
-    t_l2c = tracker._t_lidar_to_camera
     motion_comp = bool(settings.tracker.motion_compensation.enabled)
-    sky = bool(settings.tracker.get("compute_sky_rays", False))
 
     # Camera mode: keyframes carry their matched image (intensity
     # supervision). Rebuild the match with frame-synthesis semantics —
@@ -135,8 +114,8 @@ def resume_run(loner, reader: ScanStreamReader, prev_log_directory: str) -> int:
         if abs(scan_ts[idx] - kf_time) > 1e-3:
             raise ValueError(
                 f"No scan matches keyframe timestamp {kf_time} "
-                f"(closest {scan_ts[idx]}) — wrong dataset for "
-                f"{ckpt_path}?"
+                f"(closest {scan_ts[idx]}) — wrong dataset for this "
+                "checkpoint?"
             )
         last_scan_idx = max(last_scan_idx, idx)
         scan = _read_processed_scan(reader, idx, settings)
@@ -176,9 +155,54 @@ def resume_run(loner, reader: ScanStreamReader, prev_log_directory: str) -> int:
             scan.motion_compensate(
                 (Pose(track_poses[ti - 1]), tracked), (prev_mid, mid), tracked
             )
-        if sky:
-            tracker.compute_sky_rays(frame)
+        if compute_sky_rays is not None:
+            compute_sky_rays(frame)
         kf_frames.append(frame)
+    return kf_frames
+
+
+def resume_run(loner, reader: ScanStreamReader, prev_log_directory: str) -> int:
+    """Restore a started ``Loner`` from ``prev_log_directory``'s newest
+    full checkpoint. Call AFTER ``loner.start()`` and BEFORE streaming
+    (and before ``warm_up``). Returns the index of the first scan to
+    stream (the one after the last checkpointed keyframe)."""
+    settings = loner._settings
+    ckpt, ckpt_path = find_resume_checkpoint(prev_log_directory)
+    states = ckpt["poses"]
+    if not states:
+        raise ValueError(f"{ckpt_path} holds no keyframes to resume from")
+
+    # The world cube must be bit-comparable: rays, poses and the field all
+    # live in its normalized coordinates.
+    if "world_cube" in ckpt:
+        cube = ckpt["world_cube"]
+        ours = loner.get_world_cube().as_dict()
+        if not (
+            np.allclose(cube["scale_factor"], ours["scale_factor"])
+            and np.allclose(cube["shift"], ours["shift"])
+        ):
+            raise ValueError(
+                f"World cube mismatch vs {ckpt_path}: checkpoint "
+                f"{cube}, recomputed {ours} — resume requires the same "
+                "dataset and world-cube settings."
+            )
+
+    track_file = os.path.join(
+        prev_log_directory, "trajectory", "tracking_only.txt"
+    )
+    track_poses, track_ts = load_tum_trajectory(track_file)
+
+    tracker = loner._tracker
+    sky = bool(settings.tracker.get("compute_sky_rays", False))
+    kf_frames = rebuild_keyframe_frames(
+        reader,
+        settings,
+        states,
+        tracker._t_lidar_to_camera,
+        track_poses,
+        track_ts,
+        compute_sky_rays=tracker.compute_sky_rays if sky else None,
+    )
 
     loner._mapper.restore_from_checkpoint(ckpt, kf_frames)
 
@@ -192,5 +216,6 @@ def resume_run(loner, reader: ScanStreamReader, prev_log_directory: str) -> int:
         )
 
     resume_time = float(states[-1]["timestamp"])
+    scan_ts = reader.start_times()
     later = np.nonzero(scan_ts > resume_time + 1e-6)[0]
     return int(later[0]) if len(later) else len(reader)
