@@ -98,6 +98,23 @@ class Pose:
     def clone(self) -> "Pose":
         return Pose(self._matrix.copy())
 
+    def orthonormalized(self) -> "Pose":
+        """Nearest SE(3) element: SVD-project the rotation block.
+
+        Device-computed registrations are orthonormal only to f32
+        round-off; a pose CHAIN that composes hundreds of them walks off
+        the manifold multiplicatively (the tracker measured det drifting
+        to 1.05 in under a minute before tracking/icp.py normalized its
+        output). Chains must re-project after composing."""
+        u, _, vt = np.linalg.svd(self._matrix[:3, :3])
+        rot = u @ vt
+        if np.linalg.det(rot) < 0:
+            rot = (u * np.array([1.0, 1.0, -1.0])) @ vt
+        out = np.eye(4)
+        out[:3, :3] = rot
+        out[:3, 3] = self._matrix[:3, 3]
+        return Pose(out)
+
     def transform_points(self, pts: np.ndarray) -> np.ndarray:
         return pts @ self._matrix[:3, :3].T + self._matrix[:3, 3]
 

@@ -236,7 +236,12 @@ class Tracker:
     def _apply_registration(self, frame: Frame, registration: np.ndarray) -> None:
         """Compose the tracked pose, motion-compensate, and advance the
         good-chain state (reference tracker.py:225-254)."""
-        tracked = Pose(self._reference_pose.matrix @ registration)
+        # Re-project onto SE(3): the registration is device-computed
+        # (orthonormal to f32 round-off even after icp.py's own
+        # projection) and this chain composes one per frame for the whole
+        # run — without the projection the accumulated scale warps the
+        # motion-compensated scans (det reached 1.05 in 45 s; ATE 2.5x).
+        tracked = Pose(self._reference_pose.matrix @ registration).orthonormalized()
         new_reference_time = frame.get_middle_time()
         frame._lidar_pose = tracked
 

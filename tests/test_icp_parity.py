@@ -218,3 +218,74 @@ class TestLargeCloudBlocking:
         # Same order of accuracy as the KD-tree oracle.
         assert ours_rot < max(2.0 * ref_rot, 0.1) + 0.05
         assert ours_trans < max(2.0 * ref_trans, 0.005) + 0.005
+
+
+class TestSE3Projection:
+    """Pose chains must stay on the SE(3) manifold.
+
+    Device-computed registrations are orthonormal only to f32 round-off;
+    composing one per frame for a whole run inflates the rotation block
+    multiplicatively. Measured on chip BEFORE the fix: the tracker's pose
+    determinant drifted to 1.05 within 45 s and the (scaled) rotations
+    warped motion-compensated keyframe scans by 0.5+ m, costing 2.5x ATE
+    (the mid-run-resume runs were immune because the checkpoint's
+    twist/TUM roundtrips re-orthonormalize — that asymmetry was the
+    original symptom)."""
+
+    def test_orthonormalize_transform(self):
+        from loner_tpu.tracking.icp import orthonormalize_transform
+        import jax.numpy as jnp
+
+        rot = Rotation.from_rotvec([0.1, -0.2, 0.3]).as_matrix()
+        t = np.eye(4, dtype=np.float32)
+        t[:3, :3] = rot * 1.01  # 1% scale inflation
+        t[:3, 3] = [1.0, 2.0, 3.0]
+        out = np.asarray(orthonormalize_transform(jnp.asarray(t)))
+        assert np.allclose(out[:3, :3] @ out[:3, :3].T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(out[:3, :3]) == pytest.approx(1.0, abs=1e-5)
+        assert np.allclose(out[:3, :3], rot, atol=1e-5)  # direction kept
+        assert np.allclose(out[:3, 3], t[:3, 3])  # translation kept
+
+    def test_pose_orthonormalized(self):
+        rot = Rotation.from_rotvec([0.3, 0.1, -0.4]).as_matrix()
+        m = np.eye(4)
+        m[:3, :3] = rot * 1.02
+        m[:3, 3] = [0.5, -1.0, 2.0]
+        p = Pose(m).orthonormalized()
+        r = p.matrix[:3, :3]
+        assert np.allclose(r @ r.T, np.eye(3), atol=1e-12)
+        assert np.allclose(r, rot, atol=1e-12)
+        assert np.allclose(p.matrix[:3, 3], m[:3, 3])
+
+    def test_chain_of_inflated_registrations_stays_rigid(self):
+        """300 compositions of 1.0001-scaled registrations (a minute of
+        5 Hz tracking at the measured on-chip inflation) stay det=1 when
+        each composition re-projects, mirroring _apply_registration."""
+        rng = np.random.default_rng(0)
+        chain = Pose.identity()
+        for _ in range(300):
+            reg = np.eye(4)
+            reg[:3, :3] = Rotation.from_rotvec(rng.normal(0, 0.01, 3)).as_matrix() * 1.0001
+            reg[:3, 3] = rng.normal(0, 0.01, 3)
+            chain = Pose(chain.matrix @ reg).orthonormalized()
+        r = chain.matrix[:3, :3]
+        assert np.linalg.det(r) == pytest.approx(1.0, abs=1e-9)
+        assert np.allclose(r @ r.T, np.eye(3), atol=1e-9)
+
+    def test_icp_schedule_returns_orthonormal(self):
+        scene = BoxRoomScene()
+        lidar = VirtualLidar(num_channels=16, num_columns=96, max_range=30.0)
+        base = np.eye(4)
+        base[:3, 3] = [0.0, 0.0, 1.0]
+        gt = Pose.from_twist(np.array([0.05, -0.02, 0.01, 0.004, -0.003, 0.02]))
+
+        def pts(pose):
+            s = make_scan(scene, lidar, pose, t_start=0.0)
+            return (s.ray_directions * s.distances[None, :]).T
+
+        tgt = pts(Pose(base))
+        src = pts(Pose(base) * gt)
+        result = run_icp_schedule(src, tgt, SCHEDULE, pad_size=2048)
+        t = np.asarray(result.transformation, np.float64)
+        s = np.linalg.svd(t[:3, :3], compute_uv=False)
+        assert np.allclose(s, 1.0, atol=1e-5), s
