@@ -144,3 +144,53 @@ class TestSkyRays:
             np.arctan2(np.sqrt(sky[0] ** 2 + sky[1] ** 2), sky[2])
         )
         assert np.all(elev > 10.0 - 1e-6)
+
+
+class TestTrackerChainStaysOnSE3:
+    """Regression for the round-3 SE(3) manifold-drift bug: device ICP
+    registrations are orthonormal only to f32 round-off, and
+    _apply_registration composes one per frame for the whole run. The
+    pre-fix chain reached det(R)=1.05 within a minute on chip, warping
+    motion-compensated keyframe scans by 0.5+ m (ATE 0.084 vs 0.029
+    after the fix)."""
+
+    def test_apply_registration_reprojects(self):
+        from loner_tpu.common.sensors import LidarScan
+        from loner_tpu.common.settings import Settings
+        from loner_tpu.tracking.tracker import Tracker
+
+        tracker = Tracker.__new__(Tracker)
+        tracker._reference_pose = Pose.identity()
+        tracker._reference_time = 0.0
+        tracker._last_relative = np.eye(4)
+        tracker._settings = Settings(
+            {"motion_compensation": {"enabled": True}}
+        )
+
+        rng = np.random.default_rng(7)
+        t = 0.0
+        for k in range(200):
+            t += 0.2
+            reg = np.eye(4)
+            # a realistic per-call registration with the measured ~1.2e-4
+            # scale inflation the TPU ICP used to emit pre-projection
+            reg[:3, :3] = (
+                _R.from_rotvec(rng.normal(0, 0.01, 3)).as_matrix() * 1.00012
+            )
+            reg[:3, 3] = rng.normal(0, 0.05, 3)
+            dirs = rng.normal(size=(3, 64)).astype(np.float32)
+            dirs /= np.linalg.norm(dirs, axis=0, keepdims=True)
+            scan = LidarScan(
+                dirs,
+                rng.uniform(1, 10, 64).astype(np.float32),
+                np.sort(rng.uniform(t - 0.05, t + 0.05, 64)),
+            )
+            frame = Frame(None, scan, None)
+            tracker._apply_registration(frame, reg)
+
+        r = tracker._reference_pose.matrix[:3, :3]
+        assert np.linalg.det(r) == pytest.approx(1.0, abs=1e-9)
+        assert np.allclose(r @ r.T, np.eye(3), atol=1e-9)
+        # The per-frame pose written into the frame is also on-manifold.
+        fr = frame.get_lidar_pose().matrix[:3, :3]
+        assert np.linalg.det(fr) == pytest.approx(1.0, abs=1e-9)
