@@ -226,3 +226,62 @@ class TestFindResumeCheckpoint:
         ckpt, path = find_resume_checkpoint(str(tmp_path))
         assert path.endswith("final.tar")
         assert ckpt["global_step"] == 20
+
+
+class TestRebuildFidelity:
+    """The resume rebuild must reproduce the LIVE keyframes' scan data.
+
+    Regression for the round-3 SE(3) manifold-drift bug, whose first
+    symptom was exactly this divergence: live keyframe scans (warped by
+    scale-inflated pose chains at motion-compensation time) drifted up
+    to 0.9 m from the checkpoint-faithful rebuild. Post-fix the two
+    paths must agree to float noise — any future live-path state that
+    is not derivable from {checkpoint, dataset, tracking_only.txt}
+    shows up here."""
+
+    def test_live_keyframes_match_rebuild(self, synthetic_dataset, tmp_path_factory):  # noqa: F811
+        import copy
+
+        import numpy as np
+        from run_loner import run_trial
+
+        from loner_tpu.common.trajectory import load_tum_trajectory
+        from loner_tpu.datasets.scan_stream import ScanStreamReader
+        from loner_tpu.mapping import mapper as mapper_mod
+        from loner_tpu.runtime.resume import rebuild_keyframe_frames
+
+        stash = {}
+        orig = mapper_mod.Mapper.finish
+
+        def spy(self):
+            stash["mgr"] = self._keyframe_manager
+            return orig(self)
+
+        mapper_mod.Mapper.finish = spy
+        try:
+            log_prefix = str(tmp_path_factory.mktemp("outputs_fidelity"))
+            settings = tiny_settings(log_prefix)
+            logdir = run_trial(
+                copy.deepcopy(settings), synthetic_dataset,
+                experiment_name="fidelity",
+            )
+        finally:
+            mapper_mod.Mapper.finish = orig
+
+        kfs = stash["mgr"].get_keyframes()
+        ckpt = load_checkpoint(os.path.join(logdir, "checkpoints", "final.tar"))
+        track_poses, track_ts = load_tum_trajectory(
+            os.path.join(logdir, "trajectory", "tracking_only.txt")
+        )
+        reader = ScanStreamReader(synthetic_dataset)
+        frames = rebuild_keyframe_frames(
+            reader, settings, ckpt["poses"],
+            kfs[0]._frame._lidar_to_camera, track_poses, track_ts,
+        )
+        assert len(frames) == len(kfs)
+        for i, (kf, f) in enumerate(zip(kfs, frames)):
+            a = np.asarray(kf._frame.lidar_points.distances)
+            b = np.asarray(f.lidar_points.distances)
+            assert a.shape == b.shape, f"kf{i} point count"
+            d = float(np.abs(a - b).max())
+            assert d < 1e-3, f"kf{i}: live vs rebuilt depths differ by {d}"
