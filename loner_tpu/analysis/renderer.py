@@ -172,11 +172,11 @@ def render_flythrough(
     """Video flythrough (reference renderer.py:322-480): interpolated
     trajectory with periodic 360-degree spins, rendered frame-by-frame.
 
-    This environment has no ffmpeg, so instead of an .mp4 the output is a
-    frame directory + ``frames.txt`` manifest + ``make_video.sh`` holding
-    the one-liner that assembles the video anywhere ffmpeg exists. Frames
-    fan out over local devices (the reference uses a per-GPU process
-    pool).
+    The video itself is assembled in-process as MJPEG/AVI
+    (``flythrough.avi``, see :mod:`loner_tpu.analysis.video`) — no ffmpeg
+    needed; ``make_video.sh`` additionally holds the ffmpeg one-liner for
+    an H.264 .mp4 anywhere ffmpeg exists. Frames fan out over local
+    devices (the reference uses a per-GPU process pool).
     """
     model = load_experiment(log_dir, ckpt_name)
     mats, _ = kf_pose_matrices(model, use_gt=use_gt_poses)
@@ -209,6 +209,13 @@ def render_flythrough(
     with open(os.path.join(out_dir, "make_video.sh"), "w") as f:
         f.write("#!/bin/sh\n# Assemble the flythrough (run where ffmpeg exists)\n")
         f.write(cmd + "\n")
+    from loner_tpu.analysis.video import write_mjpeg_avi
+
+    write_mjpeg_avi(
+        os.path.join(out_dir, "flythrough.avi"),
+        [os.path.join(out_dir, f) for f in frames],
+        fps=fps,
+    )
     return out_dir
 
 
