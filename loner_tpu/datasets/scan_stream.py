@@ -145,6 +145,8 @@ class ScanStreamReader:
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 self.meta = yaml.safe_load(f) or {}
+        self._time_spans: Optional[np.ndarray] = None
+        self._image_files: Optional[List[str]] = None
 
     def __len__(self) -> int:
         return len(self._scan_files)
@@ -162,27 +164,43 @@ class ScanStreamReader:
         data = np.load(self._scan_files[idx])
         return LidarScan(data["directions"], data["distances"], data["timestamps"])
 
+    def time_spans(self) -> np.ndarray:
+        """(len(self), 2) raw [start, end] time per scan, reading only each
+        npz's timestamps member, cached after the first call (resume
+        keyframe lookup, runtime/resume.py)."""
+        if self._time_spans is None:
+            spans = []
+            for f in self._scan_files:
+                ts = np.load(f)["timestamps"]
+                spans.append((float(ts[0]), float(ts[-1])))
+            self._time_spans = np.asarray(spans)
+        return self._time_spans
+
     def start_times(self) -> np.ndarray:
-        """(len(self),) scan start times, reading only each npz's
-        timestamps member (resume keyframe lookup, runtime/resume.py)."""
-        return np.asarray(
-            [float(np.load(f)["timestamps"][0]) for f in self._scan_files]
-        )
+        """(len(self),) scan start times (cached; see time_spans)."""
+        return self.time_spans()[:, 0]
 
     def image_files(self) -> List[str]:
-        img_dir = os.path.join(self._root, "images")
-        if not os.path.isdir(img_dir):
-            return []
-        return sorted(
-            os.path.join(img_dir, f)
-            for f in os.listdir(img_dir)
-            if f.endswith(".npz")
-        )
+        if self._image_files is None:
+            img_dir = os.path.join(self._root, "images")
+            if not os.path.isdir(img_dir):
+                self._image_files = []
+            else:
+                self._image_files = sorted(
+                    os.path.join(img_dir, f)
+                    for f in os.listdir(img_dir)
+                    if f.endswith(".npz")
+                )
+        return self._image_files
 
     def read_image(self, idx: int):
         """(image (H, W, C) float32, timestamp float)."""
         data = np.load(self.image_files()[idx])
         return data["image"], float(data["timestamp"])
+
+    def read_image_timestamp(self, idx: int) -> float:
+        """Timestamp alone, without decoding the pixel array."""
+        return float(np.load(self.image_files()[idx])["timestamp"])
 
     def __iter__(self) -> Iterator[Tuple[LidarScan, Optional[Pose]]]:
         for i in range(len(self)):

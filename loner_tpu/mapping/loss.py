@@ -90,10 +90,14 @@ def compute_camera_loss(
     encode_fn=None,
     point_chunk: int = 131072,
     remat_blocks: bool = True,
+    detach_sigma: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Camera-sample supervision for the intensity head: render the
-    sampled pixel rays (sigma detached — color-only training, reference
-    nerf_tcnn.py:66-69) and take the masked MSE against the image pixels.
+    sampled pixel rays and take the masked MSE against the image pixels.
+    With ``detach_sigma`` (the reference's ``detach_rgb_from_sigma``
+    knob; sigma-under-no_grad, nerf_tcnn.py:66-69) density is
+    stop_gradient'ed — color-only training. False (the shipped default)
+    lets camera gradients shape the density field too.
 
     The reference scaffolds this branch but never enables it
     (build_camera_rays, keyframe.py:103-127; should_enable_camera
@@ -108,7 +112,7 @@ def compute_camera_loss(
         perturb=perturb,
         raw_noise_std=0.0,
         sigma_only=False,
-        detach_sigma=True,
+        detach_sigma=detach_sigma,
         occ_grid=occ_grid,
         encode_fn=encode_fn,
         point_chunk=point_chunk,

@@ -92,6 +92,13 @@ class OptimizerConfig:
     # hardwired False, optimizer.py:433; freeze_rgb_head(True) at :234).
     n_camera_samples: int = 0
     cameraloss_lambda: float = 1.0
+    # Camera-branch gradient detach knobs (reference keyframe.py:117-119
+    # pose detach; nerf_tcnn.py:66-69 sigma-under-no_grad). With
+    # detach_rgb_from_sigma False (the shipped default), camera MSE
+    # gradients also flow into the sigma field; pose gradients from
+    # camera rays stay off by default (detach_rgb_from_poses True).
+    detach_rgb_from_poses: bool = True
+    detach_rgb_from_sigma: bool = False
     n_samples_per_ray: int = 512
     perturb: float = 1.0
     raw_noise_std: float = 1.0
@@ -159,6 +166,12 @@ class OptimizerConfig:
             n_camera_samples=int(dict(opt_settings.num_samples).get("camera", 0)),
             cameraloss_lambda=float(
                 dict(model_cfg.loss).get("cameraloss_lambda", 1.0)
+            ),
+            detach_rgb_from_poses=bool(
+                dict(opt_settings).get("detach_rgb_from_poses", True)
+            ),
+            detach_rgb_from_sigma=bool(
+                dict(opt_settings).get("detach_rgb_from_sigma", False)
             ),
             n_samples_per_ray=int(render.N_samples_train),
             perturb=float(render.perturb),
@@ -385,6 +398,7 @@ def make_phase_runner(
                 cfg.ray_range,
                 cfg.n_camera_samples,
                 buffers.slot_valid,
+                detach_poses=cfg.detach_rgb_from_poses,
             )
             k_cam_render = jax.random.fold_in(k_render, 1)
             cam_mse, _ = compute_camera_loss(
@@ -401,6 +415,7 @@ def make_phase_runner(
                 encode_fn=encode_fn,
                 point_chunk=cfg.point_chunk,
                 remat_blocks=remat_blocks,
+                detach_sigma=cfg.detach_rgb_from_sigma,
             )
             aux["camera_loss"] = cam_mse
             loss = loss + cfg.cameraloss_lambda * cam_mse
@@ -1059,7 +1074,14 @@ class Optimizer:
                 sub,
                 num_iterations=eff_phase.num_iterations,
                 extras_log=extras_log,
-                cam_buffers=cam_buffers,
+                # Frozen-rgb phases ignore camera samples (use_camera is
+                # False in their traced program) — pass None so the call's
+                # pytree structure matches what warm_up precompiled;
+                # a CameraWindowBuffers arg here would force a retrace of
+                # the same program inside the real-time loop.
+                cam_buffers=(
+                    cam_buffers if not eff_phase.freeze_rgb_mlp else None
+                ),
             )
             self.state.global_step += eff_phase.num_iterations
             all_losses.append(np.asarray(losses))

@@ -195,15 +195,18 @@ def sample_and_build_camera_rays(
     ray_range: Tuple[float, float],
     n_camera: int,
     slot_valid: jax.Array,  # (W,) window-slot validity
+    detach_poses: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Sample pixel indices per slot and build LONER-format camera rays
     on device (reference ray_utils.py:176-214 semantics: origin = camera
     position in cube coords, far = cube-exit distance, near =
     range[0]/scale).
 
-    Poses are stop_gradient'ed: camera supervision trains the INTENSITY
-    head only — pose optimization stays lidar-driven (the reference's
-    ``detach_rgb_from_poses`` knob, keyframe.py:117-119).
+    With ``detach_poses`` (the reference's ``detach_rgb_from_poses``
+    knob, keyframe.py:117-119, default True) poses are stop_gradient'ed:
+    camera supervision trains the INTENSITY head only — pose
+    optimization stays lidar-driven. Setting it False lets camera MSE
+    gradients reach the pose twists too.
 
     Returns (rays (B, 11), intensities (B, C), valid (B,)) with
     B = W * n_camera.
@@ -217,7 +220,9 @@ def sample_and_build_camera_rays(
     dirs_c = cam.cam_dirs[idx.reshape(-1)].reshape(w, n_camera, 3)
     intens = jnp.take_along_axis(cam.intensities, idx[..., None], axis=1)
 
-    mats = jax.lax.stop_gradient(se3.twist_to_matrix(twists))  # (W, 4, 4)
+    mats = se3.twist_to_matrix(twists)  # (W, 4, 4)
+    if detach_poses:
+        mats = jax.lax.stop_gradient(mats)
     cam_mats = mats @ cam.lidar_to_camera[None]
 
     dirs_w = jnp.einsum(

@@ -77,9 +77,11 @@ class DefaultLogger:
         self._t_world_to_kf = Pose.from_twist(
             keyframe_states[-1]["lidar_pose"]
         ).matrix
-        self._t_kf_to_frame = (
-            np.linalg.inv(self._icp_only[kf_idx]) @ self._icp_only[-1]
-        )
+        # The trajectories were truncated at the keyframe itself (keep =
+        # kf_idx + 1), so the keyframe IS the newest retained frame and
+        # the kf→frame delta is identity by construction. (Post-keyframe
+        # frames re-stream through resume and re-accumulate live.)
+        self._t_kf_to_frame = np.eye(4)
 
     def update(self) -> None:
         while self._frame_slot.has_value():

@@ -73,6 +73,24 @@ def _read_processed_scan(reader, idx: int, settings):
     return scan
 
 
+def _match_scan_index(spans: np.ndarray, t: float, tol: float = 1e-3) -> int:
+    """Index of the scan whose raw [start, end] interval contains ``t``.
+
+    Checkpointed keyframe timestamps are the FOV-MASKED scan's first
+    timestamp (run_trial masks before tracking), which can sit anywhere
+    inside the raw sweep — exact comparison against raw start times breaks
+    for any FOV range that trims the sweep-start azimuth. Scans are
+    disjoint in time, so interval containment is unique."""
+    starts, ends = spans[:, 0], spans[:, 1]
+    idx = int(np.searchsorted(starts, t + tol)) - 1
+    if 0 <= idx < len(starts) and starts[idx] - tol <= t <= ends[idx] + tol:
+        return idx
+    raise ValueError(
+        f"No scan's time span contains keyframe timestamp {t} "
+        "— wrong dataset for this checkpoint?"
+    )
+
+
 def rebuild_keyframe_frames(
     reader: ScanStreamReader,
     settings,
@@ -86,7 +104,7 @@ def rebuild_keyframe_frames(
     scans and replaying the original motion compensation from the
     tracked-pose chain (``tracking_only.txt`` contents). Shared by the
     mid-run resume path and offline state-fidelity diagnostics."""
-    scan_ts = reader.start_times()
+    spans = reader.time_spans()
     gt_interp = reader.gt_interpolator
     gt0_inv = None
     if gt_interp is not None:
@@ -103,20 +121,13 @@ def rebuild_keyframe_frames(
     image_index: List[Tuple[float, int]] = []
     if not settings.system.lidar_only:
         for i in range(len(reader.image_files())):
-            _, img_ts = reader.read_image(i)
-            image_index.append((img_ts, i))
+            image_index.append((reader.read_image_timestamp(i), i))
 
     kf_frames: List[Frame] = []
     last_scan_idx = -1
     for state in states:
         kf_time = float(state["timestamp"])
-        idx = int(np.argmin(np.abs(scan_ts - kf_time)))
-        if abs(scan_ts[idx] - kf_time) > 1e-3:
-            raise ValueError(
-                f"No scan matches keyframe timestamp {kf_time} "
-                f"(closest {scan_ts[idx]}) — wrong dataset for this "
-                "checkpoint?"
-            )
+        idx = _match_scan_index(spans, kf_time)
         last_scan_idx = max(last_scan_idx, idx)
         scan = _read_processed_scan(reader, idx, settings)
 
@@ -143,8 +154,10 @@ def rebuild_keyframe_frames(
         ti = int(np.argmin(np.abs(track_ts - kf_time)))
         if motion_comp and ti > 0 and abs(track_ts[ti] - kf_time) <= 1e-3:
             prev_ts = track_ts[ti - 1]
-            prev_idx = int(np.argmin(np.abs(scan_ts - prev_ts)))
-            prev_scan = reader.read_scan(prev_idx)
+            prev_idx = _match_scan_index(spans, float(prev_ts))
+            # FOV mask must match the live run — the tracker's
+            # _reference_time was the MASKED predecessor's middle time.
+            prev_scan = _read_processed_scan(reader, prev_idx, settings)
             prev_mid = 0.5 * (
                 prev_scan.get_start_time() + prev_scan.get_end_time()
             )
@@ -216,6 +229,6 @@ def resume_run(loner, reader: ScanStreamReader, prev_log_directory: str) -> int:
         )
 
     resume_time = float(states[-1]["timestamp"])
-    scan_ts = reader.start_times()
+    scan_ts = reader.start_times()  # cached — time_spans was read above
     later = np.nonzero(scan_ts > resume_time + 1e-6)[0]
     return int(later[0]) if len(later) else len(reader)

@@ -300,28 +300,21 @@ class Tracker:
             return [frame]
 
         if not self._pipelined:
+            # Same fetch/validate/apply sequence as the pipelined path,
+            # just resolved immediately (one acceptance rule, one code
+            # path — _resolve_pending owns it).
             result = self._dispatch_icp(
                 cloud,
                 self._reference_points,
                 self._last_relative if self._use_velocity_init else None,
             )
-            import jax
-
-            reg32, fitness = jax.device_get(
-                (result.transformation, result.fitness)
-            )
-            registration = np.asarray(reg32, np.float64)
-            min_fitness = float(self._settings.icp.get("min_fitness", 0.1))
-            if (
-                not np.isfinite(registration).all()
-                or float(fitness) < min_fitness
-            ):
+            self._pending = (frame, result, cloud)
+            emitted, _ = self._resolve_pending()
+            if emitted is None:
                 print("Warning: Failed to track frame. Skipping.")
                 return []
-            self._apply_registration(frame, registration)
             self._reference_points = cloud
-            self._good_cloud = cloud
-            return [frame]
+            return [emitted]
 
         # Pipelined: dispatch THIS frame's registration against the
         # previous frame's cloud first (XLA async — returns immediately),

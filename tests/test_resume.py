@@ -285,3 +285,83 @@ class TestRebuildFidelity:
             assert a.shape == b.shape, f"kf{i} point count"
             d = float(np.abs(a - b).max())
             assert d < 1e-3, f"kf{i}: live vs rebuilt depths differ by {d}"
+
+
+class TestScanMatching:
+    """Keyframe-to-scan matching must survive FOV masking: checkpointed
+    keyframe timestamps are the MASKED scan's first timestamp, which sits
+    strictly inside the raw sweep whenever the FOV range trims the
+    sweep-start azimuth (the spinning-lidar model is column-major in
+    time). Exact raw-start comparison (the pre-fix code) hard-fails
+    there; interval containment is mask-proof."""
+
+    def test_match_scan_index_interval_containment(self):
+        from loner_tpu.runtime.resume import _match_scan_index
+
+        spans = np.array([[0.0, 0.09], [0.1, 0.19], [0.2, 0.29]])
+        assert _match_scan_index(spans, 0.1) == 1      # raw start
+        assert _match_scan_index(spans, 0.145) == 1    # masked start, mid-sweep
+        assert _match_scan_index(spans, 0.29) == 2     # sweep end
+        with pytest.raises(ValueError, match="wrong dataset"):
+            _match_scan_index(spans, 0.5)
+        with pytest.raises(ValueError, match="wrong dataset"):
+            _match_scan_index(spans, -0.1)
+
+    def test_rebuild_with_fov_mask(self, synthetic_dataset, tmp_path_factory):  # noqa: F811
+        """Full-chain regression: SLAM with an FOV range that trims the
+        sweep start, then rebuild the keyframes from the checkpoint —
+        matching must succeed and the rebuilt scans must be the live
+        (masked, motion-compensated) ones."""
+        from run_loner import run_trial
+
+        from loner_tpu.datasets.scan_stream import ScanStreamReader
+        from loner_tpu.mapping import mapper as mapper_mod
+        from loner_tpu.runtime.resume import rebuild_keyframe_frames
+
+        stash = {}
+        orig = mapper_mod.Mapper.finish
+
+        def spy(self):
+            stash["mgr"] = self._keyframe_manager
+            return orig(self)
+
+        mapper_mod.Mapper.finish = spy
+        try:
+            log_prefix = str(tmp_path_factory.mktemp("outputs_fov"))
+            settings = tiny_settings(log_prefix)
+            settings.augment(
+                {"system": {"lidar_fov": {"enabled": True, "range": [[30, 330]]}}}
+            )
+            logdir = run_trial(
+                copy.deepcopy(settings), synthetic_dataset,
+                experiment_name="fov_fidelity",
+            )
+        finally:
+            mapper_mod.Mapper.finish = orig
+
+        kfs = stash["mgr"].get_keyframes()
+        ckpt = load_checkpoint(os.path.join(logdir, "checkpoints", "final.tar"))
+        track_poses, track_ts = load_tum_trajectory(
+            os.path.join(logdir, "trajectory", "tracking_only.txt")
+        )
+        reader = ScanStreamReader(synthetic_dataset)
+
+        # The premise of the regression: masked keyframe start times must
+        # NOT coincide with raw scan starts (else this test is vacuous).
+        raw_starts = reader.start_times()
+        kf_times = [float(s["timestamp"]) for s in ckpt["poses"]]
+        assert all(
+            np.abs(raw_starts - t).min() > 1e-3 for t in kf_times
+        ), "FOV mask did not shift keyframe timestamps — fixture broken"
+
+        frames = rebuild_keyframe_frames(
+            reader, settings, ckpt["poses"],
+            kfs[0]._frame._lidar_to_camera, track_poses, track_ts,
+        )
+        assert len(frames) == len(kfs)
+        for i, (kf, f) in enumerate(zip(kfs, frames)):
+            a = np.asarray(kf._frame.lidar_points.distances)
+            b = np.asarray(f.lidar_points.distances)
+            assert a.shape == b.shape, f"kf{i} point count"
+            d = float(np.abs(a - b).max())
+            assert d < 1e-3, f"kf{i}: live vs rebuilt depths differ by {d}"
