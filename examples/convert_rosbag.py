@@ -50,7 +50,18 @@ def field_layout(msg):
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("bag")
-    parser.add_argument("out_dir")
+    parser.add_argument(
+        "out_dir", nargs="?", default=None,
+        help="output stream dir (default: the sequence config's `dataset` key)",
+    )
+    parser.add_argument(
+        "--config", default=None,
+        help="sequence yaml (e.g. cfg/fusion_portable/canteen.yaml): "
+        "pre-fills out_dir from `dataset`, --gt_file from "
+        "`groundtruth_traj`, and applies `dataset_family` heuristics "
+        "(fusion_portable -> --recompute_timestamps; reference consumes "
+        "the same keys in examples/run_loner.py:186,219-226,275)",
+    )
     parser.add_argument("--lidar_topic", default="/os_cloud_node/points")
     parser.add_argument("--gt_file", default=None, help="TUM ground-truth file to copy")
     parser.add_argument(
@@ -71,6 +82,25 @@ def main() -> None:
              "fix, reference run_loner.py:103-108)",
     )
     args = parser.parse_args()
+
+    if args.config:
+        from loner_tpu.common.settings import Settings
+
+        seq = Settings.load_from_file(args.config)
+        if args.out_dir is None and "dataset" in seq:
+            args.out_dir = os.path.expanduser(str(seq["dataset"]))
+        if args.gt_file is None and seq.get("groundtruth_traj"):
+            gt = os.path.expanduser(str(seq["groundtruth_traj"]))
+            if os.path.exists(gt):
+                args.gt_file = gt
+            else:
+                print(f"warning: groundtruth_traj {gt} not found; skipping GT copy")
+        if seq.get("dataset_family") == "fusion_portable":
+            # Fusion Portable ouster bags need the column-derived
+            # per-point time fix (reference run_loner.py:103-108,275).
+            args.recompute_timestamps = True
+    if args.out_dir is None:
+        parser.error("out_dir is required (or pass --config with a `dataset` key)")
 
     from loner_tpu.datasets.rosbag_reader import Bag
 

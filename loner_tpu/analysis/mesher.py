@@ -52,6 +52,7 @@ def build_weight_grid(
     num_channels: int = 64,
     num_columns: int = 512,
     chunk: int = 8192,
+    vertical_fov: Tuple[float, float] = (-22.5, 22.5),
 ) -> np.ndarray:
     from loner_tpu.analysis._render_impl import get_chunk_renderer
 
@@ -60,7 +61,7 @@ def build_weight_grid(
     # render at these shapes materializes every sampler intermediate —
     # the same multi-GB failure render_depth_chunked hit).
     render_chunk = get_chunk_renderer(model, n_samples, ret_var=False, use_occ=True)
-    dirs_sensor = build_lidar_ray_directions(num_channels, num_columns)
+    dirs_sensor = build_lidar_ray_directions(num_channels, num_columns, vertical_fov)
     grid = jnp.zeros((resolution,) * 3, jnp.float32)
 
     for pose in pose_mats:
@@ -89,8 +90,14 @@ def get_mesh(
     skip_step: int = 4,
     use_gt_poses: bool = False,
     out_file: Optional[str] = None,
+    vertical_fov: Optional[Tuple[float, float]] = None,
 ):
-    """Extract and save the mesh as .ply; returns (verts, faces)."""
+    """Extract and save the mesh as .ply; returns (verts, faces).
+
+    The virtual-scan vertical FOV defaults to the experiment config's
+    ``lidar_vertical_fov`` (the reference threads the same key from the
+    sequence yaml into its Mesher, meshing.py:120, mesher.py:56-68).
+    """
     try:
         from skimage.measure import marching_cubes
     except ImportError:
@@ -102,7 +109,15 @@ def get_mesh(
         float(x)
         for x in model.settings.mapper.optimizer.model_config["data"]["ray_range"]
     )
-    grid = build_weight_grid(model, mats[::skip_step], ray_range, resolution=resolution)
+    if vertical_fov is None:
+        vertical_fov = tuple(
+            float(x)
+            for x in model.settings.get("lidar_vertical_fov", (-22.5, 22.5))
+        )
+    grid = build_weight_grid(
+        model, mats[::skip_step], ray_range,
+        resolution=resolution, vertical_fov=vertical_fov,
+    )
 
     verts, faces, normals, _ = marching_cubes(grid, level=level)
     # Grid index -> cube coords -> world meters (reference mesher.py:217-221).
@@ -166,6 +181,11 @@ if __name__ == "__main__":
     p.add_argument("--level", type=float, default=0.1)
     p.add_argument("--skip_step", type=int, default=4)
     p.add_argument("--use_gt_poses", action="store_true")
+    p.add_argument(
+        "--vertical_fov", type=float, nargs=2, default=None,
+        help="virtual-scan vertical FOV in degrees "
+        "(default: the experiment config's lidar_vertical_fov)",
+    )
     args = p.parse_args()
     ckpt = args.ckpt_id if args.ckpt_id.endswith(".tar") else f"{args.ckpt_id}.tar"
     verts, faces = get_mesh(
@@ -175,5 +195,6 @@ if __name__ == "__main__":
         level=args.level,
         skip_step=args.skip_step,
         use_gt_poses=args.use_gt_poses,
+        vertical_fov=args.vertical_fov,
     )
     print(f"mesh: {len(verts)} vertices, {len(faces)} faces")

@@ -96,13 +96,16 @@ def render_full_map(
     out_dir: Optional[str] = None,
     translation_noise: float = 0.0,
     noise_seed: int = 0,
+    vertical_fov: Optional[Tuple[float, float]] = None,
 ) -> np.ndarray:
     """Render virtual scans at every skip_step-th keyframe pose and merge
     into a voxel-downsampled map cloud.
 
     ``translation_noise`` perturbs render poses (map-quality robustness
     probing, the reference's --translation_noise,
-    renderer_lidar.py:113,254-256)."""
+    renderer_lidar.py:113,254-256). The virtual-scan vertical FOV
+    defaults to the experiment config's ``lidar_vertical_fov`` (same key
+    the reference threads into its virtual-scan grid, mesher.py:56-68)."""
     model = load_experiment(log_dir, ckpt_name)
     mats, _ = kf_pose_matrices(model, use_gt=use_gt_poses)
     if translation_noise > 0:
@@ -113,7 +116,12 @@ def render_full_map(
         float(x)
         for x in model.settings.mapper.optimizer.model_config["data"]["ray_range"]
     )
-    dirs = build_lidar_ray_directions(num_channels, num_columns)
+    if vertical_fov is None:
+        vertical_fov = tuple(
+            float(x)
+            for x in model.settings.get("lidar_vertical_fov", (-22.5, 22.5))
+        )
+    dirs = build_lidar_ray_directions(num_channels, num_columns, vertical_fov)
 
     # Poses fan out over local devices (one worker per device; sequential
     # on one chip), replacing the reference's per-GPU process pool
@@ -148,6 +156,11 @@ if __name__ == "__main__":
     p.add_argument("--use_gt_poses", action="store_true")
     p.add_argument("--var_threshold", type=float, default=1.0)
     p.add_argument("--translation_noise", type=float, default=0.0)
+    p.add_argument(
+        "--vertical_fov", type=float, nargs=2, default=None,
+        help="virtual-scan vertical FOV in degrees "
+        "(default: the experiment config's lidar_vertical_fov)",
+    )
     args = p.parse_args()
     ckpt = args.ckpt_id if args.ckpt_id.endswith(".tar") else f"{args.ckpt_id}.tar"
     if not ckpt.startswith("ckpt_") and not ckpt.startswith("final"):
@@ -160,5 +173,6 @@ if __name__ == "__main__":
         use_gt_poses=args.use_gt_poses,
         var_threshold=args.var_threshold,
         translation_noise=args.translation_noise,
+        vertical_fov=args.vertical_fov,
     )
     print(f"rendered map cloud: {pts.shape[0]} points")

@@ -64,6 +64,12 @@ class Mapper:
 
         if optimizer is None:
             model_cfg = settings.optimizer.model_config
+            # The reference dispatches on model_type (model_tcnn.py:29);
+            # only nerf_decoupled exists. Fail loudly on anything else
+            # rather than silently building the default model.
+            model_type = str(model_cfg.model.get("model_type", "nerf_decoupled"))
+            if model_type != "nerf_decoupled":
+                raise ValueError(f"unknown model_type {model_type!r}")
             opt_cfg = OptimizerConfig.from_settings(settings.optimizer, model_cfg)
             if enable_sky_segmentation and settings.optimizer.num_samples.sky > 0:
                 opt_cfg = type(opt_cfg)(**{**opt_cfg.__dict__, "enable_sky": True})

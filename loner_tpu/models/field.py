@@ -201,6 +201,11 @@ class FieldConfig:
         (cfg/nerf_config/default_nerf_hash.yaml; the TPU-native variant
         adds ``encoding_sigma: fourier`` + a ``fourier_sigma`` section)."""
         encoding = str(nerf_cfg.get("encoding_sigma", "hash"))
+        if encoding not in ("hash", "fourier"):
+            raise ValueError(
+                f"unknown encoding_sigma {encoding!r}: expected 'hash' "
+                "(reference-parity HashGrid) or 'fourier' (TPU-native flagship)"
+            )
         sigma_net = nerf_cfg["sigma_network"]
         if "compute_dtype" in nerf_cfg:
             compute_dtype = (

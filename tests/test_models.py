@@ -506,3 +506,41 @@ class TestMarchingTetrahedra:
 
         verts, faces = marching_tetrahedra(np.zeros((8, 8, 8), np.float32), 0.5)
         assert len(verts) == 0 and len(faces) == 0
+
+
+class TestConfigValidation:
+    """Unknown config values must fail loudly, not silently take a default
+    path (the freeze_rgb_mlp parse-and-ignore trap from VERDICT r2)."""
+
+    def test_unknown_encoding_sigma_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="encoding_sigma"):
+            FieldConfig.from_settings(
+                {
+                    "encoding_sigma": "forier",  # typo
+                    "sigma_network": {"n_neurons": 64, "n_hidden_layers": 1},
+                    "pos_encoding_intensity": {},
+                }
+            )
+
+    def test_unknown_model_type_raises(self):
+        import os
+
+        import pytest
+
+        from loner_tpu.common.settings import Settings
+        from loner_tpu.common.signals import Signal
+        from loner_tpu.mapping.mapper import Mapper
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        seq = Settings.load_from_file(
+            os.path.join(repo, "cfg/synthetic/box_room_tiny.yaml")
+        )
+        settings = Settings.load_from_file(
+            os.path.join(repo, "cfg/synthetic", seq["baseline"])
+        )
+        settings.augment(seq.get("changes"))
+        settings.mapper.optimizer.model_config.model.model_type = "nerf_coupled"
+        with pytest.raises(ValueError, match="model_type"):
+            Mapper(settings.mapper, Signal(), Signal(), world_cube=None)

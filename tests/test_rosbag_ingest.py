@@ -306,3 +306,36 @@ def test_convert_ouster_layout_end_to_end(tmp_path, monkeypatch):
         np.sort(np.linalg.norm(xyz, axis=-1)),
         rtol=1e-5,
     )
+
+
+def test_convert_rosbag_config_driven(tmp_path, monkeypatch):
+    """--config consumes the sequence yaml's dataset / groundtruth_traj /
+    dataset_family keys (the reference reads the same keys in its live
+    ingest, examples/run_loner.py:186,219-226,275)."""
+    bag_path = str(tmp_path / "seq.bag")
+    write_fixture_bag(bag_path)
+    out_dir = str(tmp_path / "converted_cfg")
+    gt_file = tmp_path / "gt.tum"
+    gt_file.write_text("0.0 0 0 0 0 0 0 1\n1.0 1 0 0 0 0 0 1\n")
+    cfg = tmp_path / "seq.yaml"
+    cfg.write_text(
+        f"dataset: {out_dir}\n"
+        f"groundtruth_traj: {gt_file}\n"
+        "dataset_family: generic\n"
+    )
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import convert_rosbag
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["convert_rosbag.py", bag_path, "--config", str(cfg), "--min_range", "0.0"],
+    )
+    convert_rosbag.main()
+
+    from loner_tpu.datasets.scan_stream import ScanStreamReader
+
+    reader = ScanStreamReader(out_dir)
+    assert len(reader) == 2
+    gt = np.loadtxt(os.path.join(out_dir, "poses_gt.tum"))
+    assert gt.shape == (2, 8)  # copied from groundtruth_traj
