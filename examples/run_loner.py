@@ -65,6 +65,38 @@ def build_synthetic_dataset(
     return tmp_dir
 
 
+def load_sequence_config(config_path: str):
+    """Parse a per-sequence yaml (reference cfg/<family>/<seq>.yaml shape:
+    ``baseline`` + ``changes`` + runner keys + analysis keys). Returns
+    (baseline_path, changes, passthrough, dataset) — all None when the
+    file is a plain config. ``passthrough`` holds top-level keys the
+    runner itself doesn't consume (lidar_vertical_fov,
+    meshing_bounding_box, ...): they must land in the saved full config
+    because the offline tools read them from there (the reference reads
+    the sequence yaml directly — analysis/renderer_lidar.py:262,
+    analysis/meshing.py:56-58)."""
+    import yaml
+
+    try:
+        with open(config_path) as f:
+            raw_cfg = yaml.safe_load(f)
+    except yaml.YAMLError:
+        # Plain configs may use !include (Settings' loader handles it);
+        # sequence yamls are flat. Not-a-sequence-config is the answer.
+        return None, None, None, None
+    if not (isinstance(raw_cfg, dict) and "baseline" in raw_cfg):
+        return None, None, None, None
+    base = os.path.join(os.path.dirname(config_path), raw_cfg["baseline"])
+    consumed = {
+        "baseline", "changes", "dataset", "calibration",
+        "groundtruth_traj", "experiment_name", "dataset_family",
+    }
+    passthrough = {
+        k: v for k, v in raw_cfg.items() if k not in consumed
+    } or None
+    return base, raw_cfg.get("changes"), passthrough, raw_cfg.get("dataset")
+
+
 def run_trial(
     settings: Settings,
     dataset_path: str,
@@ -130,6 +162,21 @@ def run_trial(
         [] if settings.system.lidar_only else reader.image_files()
     )
     next_img = 0
+    if resume_idx > 0 and image_files:
+        # Skip pre-resume images by TIMESTAMP (cheap header reads) —
+        # decoding every earlier npz just for the decimation gate to
+        # discard it adds seconds of pointless startup on long sequences.
+        # Keep anything within match tolerance of the first post-resume
+        # scan's sweep start: it could still match that scan.
+        resume_start = reader.read_scan(resume_idx).get_start_time()
+        tol = float(
+            settings.tracker.frame_synthesis.get("frame_match_tolerance", 0.01)
+        )
+        while (
+            next_img < len(image_files)
+            and reader.read_image_timestamp(next_img) < resume_start - tol
+        ):
+            next_img += 1
 
     if resume_idx > 0 and reader.gt_interpolator is not None:
         # The zero-origin offset must be the ORIGINAL run's (the first
@@ -252,19 +299,13 @@ def main() -> None:
     # Sequence-config support (reference per-sequence yamls): a file with
     # `baseline:` + `changes:` loads the baseline and applies the overlay;
     # its `dataset:` provides the default dataset path.
-    import yaml as _yaml
-
-    with open(args.config) as f:
-        raw_cfg = _yaml.safe_load(f)
-    seq_changes = None
-    if isinstance(raw_cfg, dict) and "baseline" in raw_cfg:
-        base = os.path.join(os.path.dirname(args.config), raw_cfg["baseline"])
-        seq_changes = raw_cfg.get("changes")
+    base_config, seq_changes, seq_passthrough, seq_dataset = (
+        load_sequence_config(args.config)
+    )
+    if base_config is not None:
+        args.config = base_config
         if args.dataset_path in ("auto", "-"):
-            args.dataset_path = os.path.expanduser(raw_cfg["dataset"])
-        if "experiment_name" in raw_cfg and args.experiment_name is None:
-            pass  # experiment_name stays timestamped unless explicitly set
-        args.config = base
+            args.dataset_path = os.path.expanduser(seq_dataset)
 
     if args.dataset_path == "synthetic":
         n = args.synthetic_scans
@@ -303,7 +344,9 @@ def main() -> None:
         args.config,
         args.overrides,
         args.run_all_combos,
-        augmentations=[seq_changes, lite_changes, precompile_changes],
+        augmentations=[
+            seq_passthrough, seq_changes, lite_changes, precompile_changes
+        ],
     )
 
     multi = len(options) > 1 or args.num_repeats > 1

@@ -31,13 +31,18 @@ from loner_tpu.models.rendering import pack_rays
 @jax.jit
 def _splat_weights_max(
     grid: jax.Array,  # (V, V, V)
-    points: jax.Array,  # (N, 3) in [-1, 1] cube coords
+    points: jax.Array,  # (N, 3) in cube coords
     weights: jax.Array,  # (N,)
+    lo: jax.Array,  # (3,) grid lower corner, cube coords
+    hi: jax.Array,  # (3,) grid upper corner, cube coords
 ) -> jax.Array:
     """Max-reduce sample weights into the voxel grid (reference
-    mesher.py:130-180 does the same splat on the host)."""
+    mesher.py:130-180 does the same splat on the host). Samples outside
+    [lo, hi] clamp onto the boundary cells, matching the reference's
+    bucketize-into-bounded-grid behavior (mesher.py:141-149)."""
     v = grid.shape[0]
-    ijk = jnp.clip(((points + 1.0) * 0.5 * v).astype(jnp.int32), 0, v - 1)
+    frac = (points - lo) / (hi - lo)
+    ijk = jnp.clip((frac * v).astype(jnp.int32), 0, v - 1)
     flat = ijk[:, 0] * v * v + ijk[:, 1] * v + ijk[:, 2]
     out = grid.reshape(-1).at[flat].max(weights)
     return out.reshape(v, v, v)
@@ -53,10 +58,15 @@ def build_weight_grid(
     num_columns: int = 512,
     chunk: int = 8192,
     vertical_fov: Tuple[float, float] = (-22.5, 22.5),
+    bound: Optional[np.ndarray] = None,  # (2, 3) lo/hi in cube coords
 ) -> np.ndarray:
     from loner_tpu.analysis._render_impl import get_chunk_renderer
 
     cube = model.world_cube
+    if bound is None:
+        bound = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
+    lo = jnp.asarray(bound[0], jnp.float32)
+    hi = jnp.asarray(bound[1], jnp.float32)
     # One jitted render program shared across poses/chunks (an eager
     # render at these shapes materializes every sampler intermediate —
     # the same multi-GB failure render_depth_chunked hit).
@@ -78,6 +88,8 @@ def build_weight_grid(
                 grid,
                 out["points"].reshape(-1, 3),
                 out["weights"].reshape(-1),
+                lo,
+                hi,
             )
     return np.asarray(grid)
 
@@ -114,14 +126,28 @@ def get_mesh(
             float(x)
             for x in model.settings.get("lidar_vertical_fov", (-22.5, 22.5))
         )
+    # The sequence config's meshing_bounding_box (world meters) restricts
+    # the marching grid to the region of interest, so grid resolution is
+    # spent inside it (reference meshing.py:56-58, mesher.py:112).
+    bbox = model.settings.get("meshing_bounding_box")
+    if bbox is not None:
+        lo_w = np.array([bbox["x"][0], bbox["y"][0], bbox["z"][0]], np.float32)
+        hi_w = np.array([bbox["x"][1], bbox["y"][1], bbox["z"][1]], np.float32)
+        bound = np.stack(
+            [model.world_cube.to_cube(lo_w), model.world_cube.to_cube(hi_w)]
+        ).astype(np.float32)
+        # Stay inside the cube: the field is untrained outside it.
+        bound = np.clip(bound, -1.0, 1.0)
+    else:
+        bound = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
     grid = build_weight_grid(
         model, mats[::skip_step], ray_range,
-        resolution=resolution, vertical_fov=vertical_fov,
+        resolution=resolution, vertical_fov=vertical_fov, bound=bound,
     )
 
     verts, faces, normals, _ = marching_cubes(grid, level=level)
     # Grid index -> cube coords -> world meters (reference mesher.py:217-221).
-    verts = (verts / resolution) * 2.0 - 1.0
+    verts = bound[0] + (verts / resolution) * (bound[1] - bound[0])
     verts = model.world_cube.from_cube(verts)
 
     out_file = out_file or os.path.join(log_dir, "meshing", "mesh.ply")

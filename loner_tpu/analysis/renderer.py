@@ -129,12 +129,22 @@ def render_sequence(
     n_samples: int = 1024,
     out_dir: Optional[str] = None,
     with_intensity: bool = False,
+    start_frame: int = 0,
+    only_last_frame: bool = False,
+    explicit_pose: Optional[np.ndarray] = None,
 ) -> str:
     """Render panoramic depth images at keyframe poses -> renders/*.npy + .png.
     ``with_intensity`` additionally writes intensity_*.png from the
-    trained intensity head."""
+    trained intensity head. ``start_frame``/``only_last_frame`` subset
+    the keyframe poses; ``explicit_pose`` (a 4x4 in world meters)
+    renders that single pose instead (reference renderer.py:68-75
+    --start_frame/--only_last_frame/--render_pose)."""
     model = load_experiment(log_dir, ckpt_name)
-    mats, _ = kf_pose_matrices(model, use_gt=use_gt_poses)
+    if explicit_pose is not None:
+        mats = np.asarray(explicit_pose, np.float64)[None]
+    else:
+        mats, _ = kf_pose_matrices(model, use_gt=use_gt_poses)
+        mats = mats[-1:] if only_last_frame else mats[start_frame:]
     dirs = spherical_ray_directions(width, height)
     out_dir = out_dir or os.path.join(log_dir, "renders")
     os.makedirs(out_dir, exist_ok=True)
@@ -259,6 +269,14 @@ if __name__ == "__main__":
         "--flythrough", action="store_true",
         help="render the spin-flythrough frame sequence instead",
     )
+    p.add_argument("--start_frame", type=int, default=0)
+    p.add_argument("--only_last_frame", action="store_true")
+    p.add_argument(
+        "--render_pose", type=float, nargs=6, default=None,
+        metavar=("X", "Y", "Z", "YAW", "PITCH", "ROLL"),
+        help="render one explicit pose (meters; ZYX Euler, degrees) "
+        "instead of the keyframe trajectory (reference renderer.py:75)",
+    )
     args = p.parse_args()
     ckpt = args.ckpt_id if args.ckpt_id.endswith(".tar") else f"{args.ckpt_id}.tar"
     if args.flythrough:
@@ -272,6 +290,16 @@ if __name__ == "__main__":
             )
         )
     else:
+        explicit = None
+        if args.render_pose is not None:
+            from scipy.spatial.transform import Rotation
+
+            x, y, z, yaw, pitch, roll = args.render_pose
+            explicit = np.eye(4)
+            explicit[:3, :3] = Rotation.from_euler(
+                "ZYX", [yaw, pitch, roll], degrees=True
+            ).as_matrix()
+            explicit[:3, 3] = [x, y, z]
         print(
             render_sequence(
                 args.experiment_directory,
@@ -281,5 +309,8 @@ if __name__ == "__main__":
                 skip_step=args.skip_step,
                 use_gt_poses=args.use_gt_poses,
                 with_intensity=args.render_intensity,
+                start_frame=args.start_frame,
+                only_last_frame=args.only_last_frame,
+                explicit_pose=explicit,
             )
         )

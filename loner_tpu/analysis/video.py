@@ -44,6 +44,8 @@ def _encode_jpeg(frame: np.ndarray, quality: int) -> bytes:
     if arr.dtype != np.uint8:
         arr = np.clip(arr, 0.0, 1.0)
         arr = (arr * 255.0 + 0.5).astype(np.uint8)
+    if arr.ndim == 3 and arr.shape[-1] == 1:
+        arr = arr[..., 0]
     if arr.ndim == 2:
         arr = np.repeat(arr[..., None], 3, axis=-1)
     if arr.shape[-1] == 4:

@@ -230,6 +230,7 @@ def make_phase_runner(
     sky_pad: int,
     encode_fn=None,
     extras_mode: str = "none",
+    has_camera: bool = True,
 ):
     """Build the runner for an optimization phase: a jitted single
     ITERATION (sample -> build rays -> render -> loss -> masked multi-LR
@@ -264,7 +265,10 @@ def make_phase_runner(
     # supervises them. The reference parses freeze_rgb_mlp but hardwires
     # the head frozen (optimizer.py:234 freeze_rgb_head(True)).
     optimize_rgb = not phase.freeze_rgb_mlp
-    use_camera = optimize_rgb and cfg.n_camera_samples > 0
+    # has_camera: a camera-enabled schedule on a lidar-only run (no
+    # camera geometry) must not trace the camera branch — it would
+    # dereference cam_buffers=None inside the jitted loss.
+    use_camera = optimize_rgb and cfg.n_camera_samples > 0 and has_camera
 
     # Training encode path. The custom-VJP encode saves gathered corner
     # features instead of rematerializing them, so the per-block
@@ -668,6 +672,11 @@ class Optimizer:
         # Camera-supervision geometry: (cam_dirs (HW, 3) camera-frame
         # pixel ray dirs, lidar_to_camera (4, 4)). None = lidar-only.
         self._camera_rays = camera_rays
+        if camera_rays is None and cfg.n_camera_samples > 0:
+            print(
+                "Warning: num_samples.camera > 0 but no camera geometry "
+                "(lidar-only run) — camera-sample supervision is disabled."
+            )
         self._log_directory = log_directory
         self._profile_optimizer = profile_optimizer
         self._verbose_timing = verbose_timing
@@ -759,6 +768,7 @@ class Optimizer:
             self._runner_cache[cache_key] = make_phase_runner(
                 self._cfg, self._field_cfg, phase, w, p, ps, self._encode_fn,
                 extras_mode=self._extras_mode,
+                has_camera=self._camera_rays is not None,
             )
         return self._runner_cache[cache_key]
 

@@ -76,12 +76,18 @@ class FourierConfig:
 
     @staticmethod
     def from_settings(cfg: dict) -> "FourierConfig":
+        encode_impl = str(cfg.get("encode_impl", "vjp"))
+        if encode_impl not in ("vjp", "xla"):
+            raise ValueError(
+                f"fourier_sigma.encode_impl must be 'vjp' or 'xla', got "
+                f"{encode_impl!r}"
+            )
         return FourierConfig(
             n_freqs=int(cfg.get("n_freqs", 64)),
             scale=float(cfg.get("scale", 6.0)),
             include_input=bool(cfg.get("include_input", True)),
             seed=int(cfg.get("seed", 1234)),
-            encode_impl=str(cfg.get("encode_impl", "vjp")),
+            encode_impl=encode_impl,
         )
 
 

@@ -174,6 +174,22 @@ def rebuild_keyframe_frames(
     return kf_frames
 
 
+def build_seed_frame(reader, settings, states, kf_frames) -> Frame:
+    """The frame that re-seeds the tracking chain. Its cloud must come
+    from the UNCOMPENSATED scan: the live tracker builds each reference
+    cloud at frame arrival, BEFORE _apply_registration motion-compensates
+    the scan in place (tracker.py::track_frame) — kf_frames[-1] holds the
+    compensated points (the mapper needs those), so re-read the raw
+    processed scan for the seed. Pose/time/image come from the rebuilt
+    frame."""
+    seed_frame = kf_frames[-1].clone()
+    last_idx = _match_scan_index(
+        reader.time_spans(), float(states[-1]["timestamp"])
+    )
+    seed_frame.lidar_points = _read_processed_scan(reader, last_idx, settings)
+    return seed_frame
+
+
 def resume_run(loner, reader: ScanStreamReader, prev_log_directory: str) -> int:
     """Restore a started ``Loner`` from ``prev_log_directory``'s newest
     full checkpoint. Call AFTER ``loner.start()`` and BEFORE streaming
@@ -221,7 +237,9 @@ def resume_run(loner, reader: ScanStreamReader, prev_log_directory: str) -> int:
 
     # Seed tracking from the newest keyframe (its pose is the tracked
     # one after from_pose_state — see Tracker.seed_reference).
-    loner._tracker.seed_reference(kf_frames[-1])
+    loner._tracker.seed_reference(
+        build_seed_frame(reader, settings, states, kf_frames)
+    )
 
     if loner._logger is not None and os.path.exists(track_file):
         loner._logger.preload(

@@ -86,23 +86,35 @@ def _row_block(n: int, m: int) -> Optional[int]:
     if n * m <= _SINGLE_TILE_ELEMS:
         return None
     block = max(_BLOCK_BUDGET_ELEMS // m, 256)
-    # Largest power of two <= block that divides n (pad sizes are pow2).
+    # Largest power of two <= the budget (clean MXU tiling). The row
+    # axis pads up to a block multiple in _map_row_blocks — do NOT
+    # require block | n: for a non-pow2 n (e.g. a 10000-point budget)
+    # the largest pow2 divisor can be tiny (16), degrading lax.map to
+    # hundreds of sequential micro-blocks inside the tracking loop.
     b = 1
-    while b * 2 <= block and n % (b * 2) == 0:
+    while b * 2 <= block:
         b *= 2
-    return b
+    return min(b, n)
 
 
 def _map_row_blocks(fn, rows: jax.Array, m: int):
     """Apply ``fn`` ((B, 3) rows -> pytree of (B, ...) outputs) over row
     blocks of ``rows`` sized so each (B, m) distance tile stays inside
-    the budget; single call (no lax.map) when the whole matrix fits."""
+    the budget; single call (no lax.map) when the whole matrix fits.
+    ``fn`` must be row-independent (each output row depends only on its
+    input row) — the ragged tail is padded with row 0 and sliced off."""
     n = rows.shape[0]
     block = _row_block(n, m)
     if block is None:
         return fn(rows)
-    out = jax.lax.map(fn, rows.reshape(n // block, block, rows.shape[-1]))
-    return jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), out)
+    n_pad = -(-n // block) * block
+    padded = rows
+    if n_pad != n:
+        padded = jnp.concatenate(
+            [rows, jnp.broadcast_to(rows[:1], (n_pad - n, rows.shape[-1]))]
+        )
+    out = jax.lax.map(fn, padded.reshape(n_pad // block, block, rows.shape[-1]))
+    return jax.tree.map(lambda x: x.reshape((n_pad,) + x.shape[2:])[:n], out)
 
 
 @partial(jax.jit, static_argnames=("k",))

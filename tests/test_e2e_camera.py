@@ -169,3 +169,35 @@ def test_renderer_produces_intensity_images(camera_slam_run, camera_dataset):
         with_intensity=True,
     )
     assert any(f.startswith("intensity_") for f in os.listdir(out_dir))
+
+
+def test_render_sequence_pose_subsetting(camera_slam_run, tmp_path):
+    """--only_last_frame / --start_frame / --render_pose equivalents
+    (reference renderer.py:68-75): frame subsetting and explicit-pose
+    rendering."""
+    from loner_tpu.analysis.render_utils import load_experiment
+    from loner_tpu.analysis.renderer import render_sequence
+
+    model = load_experiment(camera_slam_run)
+    n_kf = len(model.poses)
+
+    out = render_sequence(
+        camera_slam_run, width=32, height=16, n_samples=64,
+        only_last_frame=True, out_dir=str(tmp_path / "last"),
+    )
+    assert len([f for f in os.listdir(out) if f.endswith(".npy")]) == 1
+
+    out = render_sequence(
+        camera_slam_run, width=32, height=16, n_samples=64,
+        start_frame=n_kf - 2, out_dir=str(tmp_path / "tail"),
+    )
+    assert len([f for f in os.listdir(out) if f.endswith(".npy")]) == 2
+
+    explicit = np.eye(4)
+    explicit[:3, 3] = [0.5, 0.0, 0.2]
+    out = render_sequence(
+        camera_slam_run, width=32, height=16, n_samples=64,
+        explicit_pose=explicit, out_dir=str(tmp_path / "pose"),
+    )
+    depth = np.load(os.path.join(out, "depth_0000.npy"))
+    assert depth.shape == (16, 32) and np.isfinite(depth).all()

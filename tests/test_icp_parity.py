@@ -289,3 +289,48 @@ class TestSE3Projection:
         t = np.asarray(result.transformation, np.float64)
         s = np.linalg.svd(t[:3, :3], compute_uv=False)
         assert np.allclose(s, 1.0, atol=1e-5), s
+
+
+class TestNonPow2Blocking:
+    """Row blocking must not degrade for non-power-of-two pad sizes: a
+    10000-point budget's largest pow2 DIVISOR is 16 (625 sequential
+    micro-blocks inside the tracking loop) — the block is now sized to
+    the budget and the ragged tail padded instead."""
+
+    def test_row_block_is_large_for_non_pow2(self):
+        from loner_tpu.tracking.icp import _row_block
+
+        b = _row_block(10000, 10000)
+        assert b is not None and b >= 2048
+
+    def test_map_row_blocks_parity_non_pow2(self):
+        import jax.numpy as jnp
+
+        from loner_tpu.tracking import icp as icp_mod
+
+        rng = np.random.default_rng(11)
+        rows = jnp.asarray(rng.normal(size=(10000, 3)), jnp.float32)
+        tgt = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+
+        def fn(r):
+            d = icp_mod._pairwise_sqdist(r, tgt)
+            return {"min": jnp.min(d, axis=1), "arg": jnp.argmin(d, axis=1)}
+
+        direct = fn(rows)
+        # Force the blocked path regardless of the budget constants.
+        old_single = icp_mod._SINGLE_TILE_ELEMS
+        old_budget = icp_mod._BLOCK_BUDGET_ELEMS
+        icp_mod._SINGLE_TILE_ELEMS = 1 << 18
+        icp_mod._BLOCK_BUDGET_ELEMS = 1 << 17
+        try:
+            blocked = icp_mod._map_row_blocks(fn, rows, tgt.shape[0])
+        finally:
+            icp_mod._SINGLE_TILE_ELEMS = old_single
+            icp_mod._BLOCK_BUDGET_ELEMS = old_budget
+        np.testing.assert_allclose(
+            np.asarray(blocked["min"]), np.asarray(direct["min"]),
+            rtol=1e-5, atol=1e-6,  # XLA fuses the two paths differently
+        )
+        np.testing.assert_array_equal(
+            np.asarray(blocked["arg"]), np.asarray(direct["arg"])
+        )

@@ -164,3 +164,33 @@ def test_from_settings_parses_camera_knobs():
     assert cfg.n_camera_samples == 16
     assert cfg.lr_rgb == 0.02
     assert cfg.cameraloss_lambda == 0.5
+
+
+def test_lidar_only_run_with_camera_samples_does_not_trace_camera_branch():
+    """A camera-enabled schedule on a lidar-only run (camera_rays=None)
+    must run — not dereference cam_buffers=None inside the jitted loss.
+    Shared configs set num_samples.camera > 0; the lidar-only sequence
+    must degrade to pure lidar supervision, loudly but gracefully."""
+    kfs, cube, scene, _ = make_keyframes(2)
+    cfg = small_opt_cfg(
+        samples_strategy="PROPOSAL",
+        n_camera_samples=64,
+        steps_per_dispatch=5,
+        prop_n_ctrl=17,
+    )
+    opt = Optimizer(
+        cfg,
+        small_field_cfg(),
+        cube.scale_factor,
+        cube.shift,
+        _schedule(freeze_rgb=False, n_iters=5),
+        camera_rays=None,  # lidar-only
+        seed=3,
+    )
+    before = _flat(opt.state.field_params["intensity"])
+    opt.iterate_optimizer(kfs[:2])
+    after = _flat(opt.state.field_params["intensity"])
+    # No camera loss -> nothing moves the intensity head's own params
+    # beyond the (absent) camera branch; the run simply completes.
+    assert np.isfinite(after).all()
+    del before

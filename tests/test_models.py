@@ -544,3 +544,11 @@ class TestConfigValidation:
         settings.mapper.optimizer.model_config.model.model_type = "nerf_coupled"
         with pytest.raises(ValueError, match="model_type"):
             Mapper(settings.mapper, Signal(), Signal(), world_cube=None)
+
+    def test_unknown_fourier_encode_impl_raises(self):
+        import pytest
+
+        from loner_tpu.models.field import FourierConfig
+
+        with pytest.raises(ValueError, match="encode_impl"):
+            FourierConfig.from_settings({"encode_impl": "vjp_bf16"})

@@ -286,6 +286,39 @@ class TestRebuildFidelity:
             d = float(np.abs(a - b).max())
             assert d < 1e-3, f"kf{i}: live vs rebuilt depths differ by {d}"
 
+        # The tracking seed must use the UNCOMPENSATED scan: the live
+        # tracker builds each reference cloud at frame arrival, before
+        # _apply_registration motion-compensates the scan in place —
+        # seeding from the rebuilt (compensated) keyframe scan would
+        # register the first post-resume frame against shifted points.
+        from loner_tpu.runtime.resume import (
+            _match_scan_index,
+            _read_processed_scan,
+            build_seed_frame,
+        )
+
+        seed = build_seed_frame(reader, settings, ckpt["poses"], frames)
+        last_idx = _match_scan_index(
+            reader.time_spans(), float(ckpt["poses"][-1]["timestamp"])
+        )
+        raw = _read_processed_scan(reader, last_idx, settings)
+        # Non-vacuousness: compensation must actually have moved points
+        # on this dataset, else compensated-vs-raw is indistinguishable.
+        comp = np.asarray(frames[-1].lidar_points.ray_directions)
+        assert np.abs(comp - np.asarray(raw.ray_directions)).max() > 1e-6, (
+            "fixture broken: motion compensation was a no-op"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(seed.lidar_points.ray_directions),
+            np.asarray(raw.ray_directions),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(seed.lidar_points.distances),
+            np.asarray(raw.distances),
+        )
+        # Same sweep time and pose as the rebuilt keyframe.
+        assert seed.get_time() == frames[-1].get_time()
+
 
 class TestScanMatching:
     """Keyframe-to-scan matching must survive FOV masking: checkpointed

@@ -165,3 +165,36 @@ def test_no_silently_dead_config_knobs():
         f"{sorted(dead)} — wire them up or add to REFERENCE_INERT_KEYS "
         f"with a reference citation"
     )
+
+
+import os
+
+
+def test_sequence_config_passthrough_keys():
+    """Top-level sequence-yaml keys the runner doesn't consume
+    (lidar_vertical_fov, meshing_bounding_box) must land in the final
+    Settings: the offline renderers/mesher read them from the saved full
+    config (the reference reads the sequence yaml directly,
+    analysis/renderer_lidar.py:262, analysis/meshing.py:56-58)."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "examples"))
+    from run_loner import load_sequence_config
+
+    from loner_tpu.common.settings import generate_options
+
+    seq = os.path.join(repo, "cfg", "newer_college", "quad.yaml")
+    base, changes, passthrough, dataset = load_sequence_config(seq)
+    assert base and dataset
+    assert "lidar_vertical_fov" in passthrough
+    assert "meshing_bounding_box" in passthrough
+    opts, _ = generate_options(
+        base, None, False, augmentations=[passthrough, changes]
+    )
+    s = opts[0]
+    assert list(s["lidar_vertical_fov"]) == [-45, 45]
+    assert "x" in s["meshing_bounding_box"]
+    # A plain (non-sequence) config comes back untouched.
+    plain = os.path.join(repo, "cfg", "defaults.yaml")
+    assert load_sequence_config(plain) == (None, None, None, None)

@@ -102,3 +102,11 @@ class TestMjpegAvi:
         write_mjpeg_avi(path, frames, fps=10)
         read_avi_frame_count(path)  # raises on size mismatch / bad idx1
         assert os.path.getsize(path) % 2 == 0
+
+    def test_single_channel_3d_frames(self, tmp_path):
+        # Docstring-allowed (H, W, 1) shape must encode like grayscale.
+        frames = [np.full((16, 24, 1), 60 * i, dtype=np.uint8) for i in range(3)]
+        out = str(tmp_path / "c1.avi")
+        write_mjpeg_avi(out, frames, fps=5)
+        n, (h, w), _ = read_avi_frame_count(out)
+        assert n == 3 and (h, w) == (16, 24)
