@@ -21,12 +21,16 @@ def get_chunk_renderer(
     ret_var: bool,
     use_occ: bool,
     sigma_only: bool = True,
+    ret_peak: bool = False,
 ):
     """A jitted (rays, field_params, occ) -> outputs function, cached on
     the LoadedModel so repeated scans/chunks reuse one executable.
     ``sigma_only=False`` additionally composites the intensity head's
-    color along each ray (reference renderer.py intensity images)."""
-    key = (n_samples, ret_var, use_occ, sigma_only)
+    color along each ray (reference renderer.py intensity images).
+    ``ret_peak`` adds per-ray peak-depth consistency |z@argmax(w) -
+    depth| (reference renderer.py:197-203) — a cheap confidence proxy
+    computed on device so the (N, S) weights never leave HBM."""
+    key = (n_samples, ret_var, use_occ, sigma_only, ret_peak)
     cache = model.render_cache
     if key in cache:
         return cache[key]
@@ -38,7 +42,7 @@ def get_chunk_renderer(
 
     @jax.jit
     def render_chunk(rays, field_params, occ):
-        return render_rays(
+        out = render_rays(
             None,
             rays,
             field_params,
@@ -52,6 +56,15 @@ def get_chunk_renderer(
             point_chunk=0,
             compositor=compositor,
         )
+        if ret_peak:
+            import jax.numpy as jnp
+
+            idx = jnp.argmax(out["weights"], axis=-1)
+            z_peak = jnp.take_along_axis(
+                out["z_vals"], idx[:, None], axis=-1
+            )[:, 0]
+            out["peak_depth_consistency"] = jnp.abs(z_peak - out["depth"])
+        return out
 
     cache[key] = render_chunk
     return render_chunk

@@ -85,20 +85,23 @@ def render_depth_chunked(
     ret_var: bool = True,
     use_occ: bool = True,
     with_intensity: bool = False,
+    with_peak: bool = False,
 ) -> dict:
     """Render expected depth (meters) + variance along world-frame rays.
 
     Chunked like the reference's test-time path (model_tcnn.py:82-99 with
     N_samples_test=2048); deterministic (no perturb/noise).
     ``with_intensity`` also composites the trained intensity head's color
-    (adds an 'rgb' (N, C) output).
+    (adds an 'rgb' (N, C) output). ``with_peak`` adds per-ray
+    peak-depth consistency in meters (reference renderer.py:197-203).
     """
     from loner_tpu.analysis._render_impl import get_chunk_renderer
 
     cube = model.world_cube
     n = origins_world.shape[0]
     render_chunk = get_chunk_renderer(
-        model, n_samples, ret_var, use_occ, sigma_only=not with_intensity
+        model, n_samples, ret_var, use_occ, sigma_only=not with_intensity,
+        ret_peak=with_peak,
     )
     occ = model.occ_grid if use_occ else None
 
@@ -112,7 +115,7 @@ def render_depth_chunked(
         [dirs_world, np.repeat(dirs_world[:1], n_padded - n, axis=0)]
     )
 
-    depths, variances, opacities, rgbs = [], [], [], []
+    depths, variances, opacities, rgbs, peaks = [], [], [], [], []
     for i in range(0, n_padded, chunk):
         o = o_all[i : i + chunk]
         d = d_all[i : i + chunk]
@@ -127,6 +130,10 @@ def render_depth_chunked(
         opacities.append(np.asarray(out["opacity"]))
         if with_intensity:
             rgbs.append(np.asarray(out["rgb"]))
+        if with_peak:
+            peaks.append(
+                np.asarray(out["peak_depth_consistency"]) * cube.scale_factor
+            )
         if ret_var:
             variances.append(np.asarray(out["variance"]) * cube.scale_factor ** 2)
 
@@ -136,6 +143,8 @@ def render_depth_chunked(
     }
     if with_intensity:
         result["rgb"] = np.concatenate(rgbs)[:n]
+    if with_peak:
+        result["peak_depth_consistency"] = np.concatenate(peaks)[:n]
     if ret_var:
         result["variance"] = np.concatenate(variances)[:n]
     return result

@@ -61,10 +61,14 @@ def render_dataset_frame(
     n_samples: int = 2048,
     chunk: int = 2048,
     with_intensity: bool = False,
+    with_peak: bool = False,
 ) -> dict:
     """Render one frame; returns {'depth': (H, W), 'variance': (H, W)}
     plus 'intensity' (H, W, C) when requested (reference renderer.py's
-    color renders; needs a head trained via freeze_rgb_mlp: False)."""
+    color renders; needs a head trained via freeze_rgb_mlp: False) and
+    'peak_depth_consistency' (H, W) meters when ``with_peak`` (reference
+    renderer.py:197-203: |z at the weight peak - expected depth|, a
+    per-pixel multimodality/confidence map)."""
     if ray_range is None:
         ray_range = tuple(
             float(x)
@@ -74,7 +78,7 @@ def render_dataset_frame(
     origins = np.broadcast_to(pose_mat[:3, 3], dirs_world.shape)
     out = render_depth_chunked(
         model, origins, dirs_world, ray_range, n_samples=n_samples, chunk=chunk,
-        with_intensity=with_intensity,
+        with_intensity=with_intensity, with_peak=with_peak,
     )
     h, w = image_shape
     result = {
@@ -84,6 +88,10 @@ def render_dataset_frame(
     }
     if with_intensity:
         result["intensity"] = out["rgb"].reshape(h, w, -1)
+    if with_peak:
+        result["peak_depth_consistency"] = out["peak_depth_consistency"].reshape(
+            h, w
+        )
     return result
 
 
@@ -129,15 +137,18 @@ def render_sequence(
     n_samples: int = 1024,
     out_dir: Optional[str] = None,
     with_intensity: bool = False,
+    with_peak: bool = False,
     start_frame: int = 0,
     only_last_frame: bool = False,
     explicit_pose: Optional[np.ndarray] = None,
 ) -> str:
     """Render panoramic depth images at keyframe poses -> renders/*.npy + .png.
     ``with_intensity`` additionally writes intensity_*.png from the
-    trained intensity head. ``start_frame``/``only_last_frame`` subset
-    the keyframe poses; ``explicit_pose`` (a 4x4 in world meters)
-    renders that single pose instead (reference renderer.py:68-75
+    trained intensity head; ``with_peak`` writes peak_*.npy/.png
+    peak-depth-consistency maps (reference renderer.py:197-203).
+    ``start_frame``/``only_last_frame`` subset the keyframe poses;
+    ``explicit_pose`` (a 4x4 in world meters) renders that single pose
+    instead (reference renderer.py:68-75
     --start_frame/--only_last_frame/--render_pose)."""
     model = load_experiment(log_dir, ckpt_name)
     if explicit_pose is not None:
@@ -152,7 +163,7 @@ def render_sequence(
     for i, pose in enumerate(mats[::skip_step]):
         frame = render_dataset_frame(
             model, pose, dirs, (height, width), n_samples=n_samples,
-            with_intensity=with_intensity,
+            with_intensity=with_intensity, with_peak=with_peak,
         )
         np.save(os.path.join(out_dir, f"depth_{i:04d}.npy"), frame["depth"])
         _save_depth_png(frame["depth"], os.path.join(out_dir, f"depth_{i:04d}.png"))
@@ -163,6 +174,10 @@ def render_sequence(
             _save_rgb_png(
                 frame["intensity"], os.path.join(out_dir, f"intensity_{i:04d}.png")
             )
+        if with_peak:
+            peak = frame["peak_depth_consistency"]
+            np.save(os.path.join(out_dir, f"peak_{i:04d}.npy"), peak)
+            _save_depth_png(peak, os.path.join(out_dir, f"peak_{i:04d}.png"))
     return out_dir
 
 
@@ -266,6 +281,11 @@ if __name__ == "__main__":
         help="also render intensity images from the trained head",
     )
     p.add_argument(
+        "--render_peak", action="store_true",
+        help="also render peak-depth-consistency maps "
+        "(reference renderer.py:197-203)",
+    )
+    p.add_argument(
         "--flythrough", action="store_true",
         help="render the spin-flythrough frame sequence instead",
     )
@@ -309,6 +329,7 @@ if __name__ == "__main__":
                 skip_step=args.skip_step,
                 use_gt_poses=args.use_gt_poses,
                 with_intensity=args.render_intensity,
+                with_peak=args.render_peak,
                 start_frame=args.start_frame,
                 only_last_frame=args.only_last_frame,
                 explicit_pose=explicit,

@@ -161,6 +161,31 @@ class TestEndToEnd:
         )
         assert np.all(np.isfinite(out["depth"]))
 
+    def test_peak_depth_consistency_render(self, slam_run):
+        """Peak-depth consistency |z@argmax(w) - expected depth| in
+        meters (reference renderer.py:197-203): finite, non-negative,
+        and small on a well-trained wall-facing ray."""
+        from loner_tpu.analysis.render_utils import (
+            kf_pose_matrices,
+            load_experiment,
+            render_depth_chunked,
+        )
+
+        model = load_experiment(slam_run)
+        mats, _ = kf_pose_matrices(model)
+        dirs = np.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]], np.float32)
+        origins = np.broadcast_to(mats[0][:3, 3], dirs.shape)
+        out = render_depth_chunked(
+            model, origins, dirs, (0.5, 14.0), n_samples=128,
+            ret_var=True, with_peak=True,
+        )
+        peak = out["peak_depth_consistency"]
+        assert peak.shape == (3,)
+        assert np.all(np.isfinite(peak)) and np.all(peak >= 0)
+        # For a converged unimodal surface the peak sample should sit
+        # within a couple of sample bins of the expected depth.
+        assert peak.min() < 1.0, peak
+
     def test_flythrough_frames_and_manifest(self, slam_run):
         from loner_tpu.analysis.renderer import render_flythrough
 
