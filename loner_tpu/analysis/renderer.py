@@ -141,6 +141,7 @@ def render_sequence(
     start_frame: int = 0,
     only_last_frame: bool = False,
     explicit_pose: Optional[np.ndarray] = None,
+    traj_file: Optional[str] = None,
 ) -> str:
     """Render panoramic depth images at keyframe poses -> renders/*.npy + .png.
     ``with_intensity`` additionally writes intensity_*.png from the
@@ -153,6 +154,13 @@ def render_sequence(
     model = load_experiment(log_dir, ckpt_name)
     if explicit_pose is not None:
         mats = np.asarray(explicit_pose, np.float64)[None]
+    elif traj_file is not None:
+        # Render along an arbitrary TUM trajectory instead of the
+        # keyframe poses (reference renderer.py:71 --traj).
+        from loner_tpu.common.trajectory import load_tum_trajectory
+
+        mats, _ = load_tum_trajectory(traj_file)
+        mats = mats[-1:] if only_last_frame else mats[start_frame:]
     else:
         mats, _ = kf_pose_matrices(model, use_gt=use_gt_poses)
         mats = mats[-1:] if only_last_frame else mats[start_frame:]
@@ -292,6 +300,11 @@ if __name__ == "__main__":
     p.add_argument("--start_frame", type=int, default=0)
     p.add_argument("--only_last_frame", action="store_true")
     p.add_argument(
+        "--traj", default=None,
+        help="render along this TUM trajectory file instead of the "
+        "keyframe poses (reference renderer.py:71)",
+    )
+    p.add_argument(
         "--render_pose", type=float, nargs=6, default=None,
         metavar=("X", "Y", "Z", "YAW", "PITCH", "ROLL"),
         help="render one explicit pose (meters; ZYX Euler, degrees) "
@@ -333,5 +346,6 @@ if __name__ == "__main__":
                 start_frame=args.start_frame,
                 only_last_frame=args.only_last_frame,
                 explicit_pose=explicit,
+                traj_file=args.traj,
             )
         )

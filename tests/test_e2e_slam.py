@@ -186,6 +186,20 @@ class TestEndToEnd:
         # within a couple of sample bins of the expected depth.
         assert peak.min() < 1.0, peak
 
+    def test_render_along_tum_trajectory(self, slam_run, tmp_path):
+        """--traj equivalent (reference renderer.py:71): render along an
+        arbitrary TUM file instead of keyframe poses."""
+        from loner_tpu.analysis.renderer import render_sequence
+
+        traj = os.path.join(slam_run, "trajectory", "estimated_trajectory.txt")
+        n_lines = sum(1 for _ in open(traj))
+        out = render_sequence(
+            slam_run, width=16, height=8, n_samples=32, skip_step=2,
+            traj_file=traj, out_dir=str(tmp_path / "traj"),
+        )
+        n_frames = len([f for f in os.listdir(out) if f.endswith(".npy")])
+        assert n_frames == -(-n_lines // 2)
+
     def test_flythrough_frames_and_manifest(self, slam_run):
         from loner_tpu.analysis.renderer import render_flythrough
 
