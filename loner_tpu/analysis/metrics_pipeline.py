@@ -55,26 +55,43 @@ def summarize_results(
     out_csv: Optional[str] = None,
     out_tex: Optional[str] = None,
 ) -> str:
-    """mean/median/min ATE RMSE per config across trials
-    (reference summarize_results.py semantics)."""
-    by_config: Dict[str, List[float]] = {}
+    """mean/median/min ATE RMSE per config across trials, plus mean RPE
+    translation and rotation RMSE (reference summarize_results.py +
+    analyze.sh evo_rpe trans/rot semantics)."""
+    by_config: Dict[str, List[dict]] = {}
     for trial, res in results.items():
         if "error" in res:
             continue
         # config_i/trial_j layouts group by config_i; flat layouts (no
         # trial level) group by the leaf itself.
         config = os.path.dirname(trial) or trial
-        by_config.setdefault(config, []).append(res["ate"]["rmse"])
+        by_config.setdefault(config, []).append(res)
 
-    lines = ["config,num_trials,ate_rmse_mean,ate_rmse_median,ate_rmse_min"]
-    tex = ["\\begin{tabular}{lcccc}", "config & N & mean & median & min \\\\"]
-    for config, rmses in sorted(by_config.items()):
-        arr = np.asarray(rmses)
+    lines = [
+        "config,num_trials,ate_rmse_mean,ate_rmse_median,ate_rmse_min,"
+        "rpe_trans_rmse_mean,rpe_rot_rmse_mean_deg"
+    ]
+    tex = [
+        "\\begin{tabular}{lcccccc}",
+        "config & N & ATE mean & median & min & RPE$_t$ & RPE$_r$ (deg) \\\\",
+    ]
+    for config, trials in sorted(by_config.items()):
+        arr = np.asarray([t["ate"]["rmse"] for t in trials])
+        rpe_t = np.asarray(
+            [t["rpe_trans"]["rmse"] for t in trials if "rpe_trans" in t]
+        )
+        rpe_r = np.asarray(
+            [t["rpe_rot"]["rmse"] for t in trials if "rpe_rot" in t]
+        )
+        rt = f"{rpe_t.mean():.4f}" if rpe_t.size else ""
+        rr = f"{rpe_r.mean():.4f}" if rpe_r.size else ""
         lines.append(
-            f"{config},{len(arr)},{arr.mean():.4f},{np.median(arr):.4f},{arr.min():.4f}"
+            f"{config},{len(arr)},{arr.mean():.4f},{np.median(arr):.4f},"
+            f"{arr.min():.4f},{rt},{rr}"
         )
         tex.append(
-            f"{config} & {len(arr)} & {arr.mean():.4f} & {np.median(arr):.4f} & {arr.min():.4f} \\\\"
+            f"{config} & {len(arr)} & {arr.mean():.4f} & {np.median(arr):.4f}"
+            f" & {arr.min():.4f} & {rt} & {rr} \\\\"
         )
     tex.append("\\end{tabular}")
 
@@ -102,6 +119,80 @@ def collect_map_metrics(experiment_dir: str) -> Dict[str, dict]:
     return results
 
 
+def write_regression_file(
+    experiment_dir: str,
+    traj_results: Optional[Dict[str, dict]] = None,
+    map_results: Optional[Dict[str, dict]] = None,
+    out_path: Optional[str] = None,
+    round_digits: int = 4,
+) -> dict:
+    """Write a canonical, diff-stable ``regression.yaml`` for a drive.
+
+    One flat schema per trial — ATE RMSE, RPE translation + rotation RMSE,
+    and (when the map eval has been run) L1 depth mean/rmse, F-score,
+    chamfer — all rounded to ``round_digits`` and sorted, so two rounds'
+    files are directly machine-comparable with ``diff``/yaml compare.
+    This is the per-drive regression record the reference's analyze.sh
+    CSV tables approximate (reference analysis/compute_metrics/traj/
+    analyze.sh:8-24); here it is a first-class artifact.
+    """
+    traj_results = (
+        analyze_trajectories(experiment_dir) if traj_results is None else traj_results
+    )
+    map_results = (
+        collect_map_metrics(experiment_dir) if map_results is None else map_results
+    )
+
+    def rnd(x):
+        return round(float(x), round_digits)
+
+    trials = {}
+    for trial, res in sorted(traj_results.items()):
+        if "error" in res:
+            trials[trial] = {"error": res["error"]}
+            continue
+        entry = {
+            "ate_rmse": rnd(res["ate"]["rmse"]),
+            "ate_mean": rnd(res["ate"]["mean"]),
+            "rpe_trans_rmse": rnd(res["rpe_trans"]["rmse"]),
+            "rpe_rot_rmse_deg": rnd(res["rpe_rot"]["rmse"]),
+        }
+        maps = map_results.get(trial, {})
+        for name, stats in sorted(maps.items()):
+            if not isinstance(stats, dict):
+                continue
+            if "f_score" in stats:  # evaluate_lidar_map statistics yaml
+                entry["map_f_score"] = rnd(stats["f_score"])
+                entry["map_chamfer"] = rnd(stats["chamfer"])
+                entry["map_accuracy"] = rnd(stats["accuracy"])
+                entry["map_completion"] = rnd(stats["completion"])
+            elif "mean" in stats and "rmse" in stats:  # compute_l1_depth yaml
+                entry["l1_mean"] = rnd(stats["mean"])
+                entry["l1_rmse"] = rnd(stats["rmse"])
+        trials[trial] = entry
+
+    ates = [t["ate_rmse"] for t in trials.values() if "ate_rmse" in t]
+    record = {
+        "schema": 1,
+        "experiment": os.path.basename(os.path.normpath(experiment_dir)),
+        "num_trials": len(ates),
+        "aggregate": (
+            {
+                "ate_rmse_mean": rnd(np.mean(ates)),
+                "ate_rmse_median": rnd(np.median(ates)),
+                "ate_rmse_min": rnd(np.min(ates)),
+            }
+            if ates
+            else {}
+        ),
+        "trials": trials,
+    }
+    out_path = out_path or os.path.join(experiment_dir, "regression.yaml")
+    with open(out_path, "w") as f:
+        yaml.safe_dump(record, f, sort_keys=True)
+    return record
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -125,3 +216,5 @@ if __name__ == "__main__":
         with open(os.path.join(args.experiment_dir, "map_metrics.yaml"), "w") as f:
             yaml.safe_dump(maps, f)
         print(f"map metrics for {len(maps)} trials collected")
+    write_regression_file(args.experiment_dir, results, maps)
+    print(f"regression record: {os.path.join(args.experiment_dir, 'regression.yaml')}")

@@ -121,3 +121,69 @@ def test_mask_gt_with_trajectory(tmp_path):
     tf[:3, 3] = [5.0, 0.0, 0.0]
     masked_tf = mask_gt_map(gt, rec[:100], dist_threshold=0.1, transform=tf)
     np.testing.assert_allclose(masked_tf, far)
+
+
+class TestMetricsPipeline:
+    """summarize_results RPE columns + the regression.yaml record."""
+
+    def _make_experiment(self, tmp_path, n_trials=2):
+        from loner_tpu.common.trajectory import dump_trajectory_to_tum
+
+        exp = tmp_path / "exp"
+        poses, ts = make_traj(40)
+        for j in range(n_trials):
+            traj = exp / f"trial_{j}" / "trajectory"
+            traj.mkdir(parents=True)
+            noisy = poses.copy()
+            rng = np.random.default_rng(j)
+            noisy[:, :3, 3] += rng.normal(0, 0.01, (len(poses), 3))
+            dump_trajectory_to_tum(noisy, ts, str(traj / "estimated_trajectory.txt"))
+            dump_trajectory_to_tum(poses, ts, str(traj / "groundtruth.txt"))
+            metrics = exp / f"trial_{j}" / "metrics"
+            metrics.mkdir()
+            (metrics / "statistics.yaml").write_text(
+                "f_score: 0.9\nchamfer: 0.08\naccuracy: 0.03\ncompletion: 0.05\n"
+            )
+            (metrics / "l1.yaml").write_text("mean: 0.15\nrmse: 0.4\nmin: 0.0\nmax: 2.0\n")
+        return str(exp)
+
+    def test_summary_has_rpe_columns(self, tmp_path):
+        from loner_tpu.analysis.metrics_pipeline import (
+            analyze_trajectories,
+            summarize_results,
+        )
+
+        exp = self._make_experiment(tmp_path)
+        results = analyze_trajectories(exp)
+        csv = summarize_results(results)
+        header = csv.splitlines()[0].split(",")
+        assert "rpe_trans_rmse_mean" in header
+        assert "rpe_rot_rmse_mean_deg" in header
+        row = csv.splitlines()[1].split(",")
+        # per-pose noise survives alignment; RPE over 3 m windows stays small
+        assert float(row[header.index("ate_rmse_mean")]) > 0.005
+        assert float(row[header.index("rpe_trans_rmse_mean")]) < 0.1
+
+    def test_regression_file_schema_and_determinism(self, tmp_path):
+        import yaml as _yaml
+
+        from loner_tpu.analysis.metrics_pipeline import write_regression_file
+
+        exp = self._make_experiment(tmp_path)
+        rec = write_regression_file(exp)
+        assert os.path.exists(os.path.join(exp, "regression.yaml"))
+        assert rec["schema"] == 1 and rec["num_trials"] == 2
+        t0 = rec["trials"]["trial_0"]
+        for key in (
+            "ate_rmse", "rpe_trans_rmse", "rpe_rot_rmse_deg",
+            "map_f_score", "map_chamfer", "l1_mean", "l1_rmse",
+        ):
+            assert key in t0, key
+        assert t0["map_f_score"] == 0.9
+        assert "ate_rmse_mean" in rec["aggregate"]
+        # determinism: a second write is byte-identical (diff-stable record)
+        first = open(os.path.join(exp, "regression.yaml")).read()
+        write_regression_file(exp)
+        assert open(os.path.join(exp, "regression.yaml")).read() == first
+        # and it round-trips through yaml
+        assert _yaml.safe_load(first)["trials"]["trial_0"]["ate_rmse"] == t0["ate_rmse"]
