@@ -33,18 +33,25 @@ from loner_tpu.runtime.loner import Loner
 
 
 def build_synthetic_dataset(
-    tmp_dir: str, num_scans: int = 100, with_camera: bool = False
+    tmp_dir: str, num_scans: int = 100, with_camera: bool = False,
+    scene_name: str = "box_room",
 ) -> str:
     from loner_tpu.common.pose import Pose
     from loner_tpu.datasets.scan_stream import ScanStreamWriter
     from loner_tpu.datasets.synthetic import (
+        BoxRoomScene,
         VirtualCamera,
         VirtualLidar,
         generate_sequence,
     )
 
+    # open_sky removes the ceiling: upward rays return nothing, so the
+    # tracker's sky segmentation finds real sky regions and the mapper's
+    # sky supervision has something to carve (reference tracker.py:257-296).
+    scene = BoxRoomScene(open_top=(scene_name == "open_sky"))
     scans, poses, ts, scene, _ = generate_sequence(
-        num_scans=num_scans, lidar=VirtualLidar(num_channels=32, num_columns=512)
+        num_scans=num_scans, scene=scene,
+        lidar=VirtualLidar(num_channels=32, num_columns=512),
     )
     # Write to a staging dir and rename: an interrupted build must not
     # leave a half-written dataset that later runs mistake for complete.
@@ -256,6 +263,12 @@ def main() -> None:
         help="scan count when dataset_path is 'synthetic'",
     )
     parser.add_argument(
+        "--synthetic_scene", choices=["box_room", "open_sky"],
+        default="box_room",
+        help="scene variant when dataset_path is 'synthetic' (open_sky "
+        "removes the ceiling so sky segmentation finds real sky)",
+    )
+    parser.add_argument(
         "--synthetic_camera", action="store_true",
         help="also render virtual-camera images into the synthetic "
              "dataset (intensity supervision)",
@@ -312,11 +325,14 @@ def main() -> None:
         suffix = "" if n == 100 else f"_{n}"
         if args.synthetic_camera:
             suffix += "_cam"
+        if args.synthetic_scene != "box_room":
+            suffix += f"_{args.synthetic_scene}"
         dataset_path = os.path.join("./outputs", f"synthetic_dataset{suffix}")
         if not os.path.exists(os.path.join(dataset_path, "scans")):
             print(f"Generating synthetic dataset ({n} scans)...")
             build_synthetic_dataset(
-                dataset_path, num_scans=n, with_camera=args.synthetic_camera
+                dataset_path, num_scans=n, with_camera=args.synthetic_camera,
+                scene_name=args.synthetic_scene,
             )
     else:
         dataset_path = args.dataset_path

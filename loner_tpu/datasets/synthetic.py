@@ -30,6 +30,19 @@ class BoxRoomScene:
             (np.array([-5.0, 2.0, -2.0]), np.array([-3.0, 4.0, 0.5])),
         ]
     )
+    # Open-sky variant: the ceiling (z = room_max[2]) is removed — rays
+    # exiting through it return no hit (inf depth -> dropped by
+    # make_scan), which is what real outdoor lidar sees above the
+    # horizon. Drives the sky-ray supervision path (reference
+    # tracker.py:257-296, keyframe.py:87-101).
+    open_top: bool = False
+    # Skylight variant: only the axis-aligned xy rectangle
+    # (xy_min, xy_max) of the ceiling is open. Unlike open_top, the
+    # remaining ceiling ring still returns hits at high elevations, so
+    # the spherical sky image has INTERIOR empty cells (surrounded by
+    # returns on all sides) — the geometry where sky supervision is
+    # cleanly separable from wall returns.
+    top_opening: Optional[Tuple[np.ndarray, np.ndarray]] = None
 
     def raycast(self, origins: np.ndarray, directions: np.ndarray) -> np.ndarray:
         """Exact first-hit distance for rays (N, 3), (N, 3) -> (N,)."""
@@ -40,7 +53,23 @@ class BoxRoomScene:
         # positive slab crossing, then the min across axes.
         t_lo = (self.room_min - o) / d
         t_hi = (self.room_max - o) / d
-        t_exit = np.minimum(np.maximum(t_lo, t_hi), np.inf).min(axis=-1)
+        t_pos = np.minimum(np.maximum(t_lo, t_hi), np.inf)
+        t_exit = t_pos.min(axis=-1)
+        if self.open_top or self.top_opening is not None:
+            # Rays whose first room crossing is the (removed) ceiling
+            # escape to the sky: no return.
+            exit_pt = o + d * t_exit[:, None]
+            through_top = (
+                np.abs(exit_pt[:, 2] - self.room_max[2]) < 1e-9
+            ) & (d[:, 2] > 0)
+            if self.top_opening is not None and not self.open_top:
+                xy_min, xy_max = self.top_opening
+                through_top &= np.all(
+                    (exit_pt[:, :2] > np.asarray(xy_min))
+                    & (exit_pt[:, :2] < np.asarray(xy_max)),
+                    axis=-1,
+                )
+            t_exit = np.where(through_top, np.inf, t_exit)
         depth = t_exit
 
         # Entry distance into each obstacle (slab method).
