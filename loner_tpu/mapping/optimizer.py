@@ -138,6 +138,15 @@ class OptimizerConfig:
     # per-dispatch host/tunnel overhead by k; the remainder of a phase
     # runs on a single-step program.
     steps_per_dispatch: int = 10
+    # Max mapping dispatches in flight on the device queue. Unbounded
+    # enqueue (0) keeps the chip saturated but makes a concurrently
+    # dispatched tracker ICP wait behind the WHOLE phase backlog (10
+    # chunks x ~145 ms at flagship scale = 1.5 s track-latency spikes);
+    # 2 = classic double buffering — the device never starves (the next
+    # chunk is queued while one runs) and a tracking program dispatched
+    # mid-phase waits at most ~2 chunks. No reference analog (its
+    # tracker/mapper own separate devices' queues).
+    max_inflight_dispatches: int = 2
     # Block rematerialization for the point-eval path: "on" (default) or
     # "off". On-chip A/B at flagship scale (8x512x512, 256x2 fourier,
     # point_chunk=0) measured the two identical (33.5 vs 33.6 ms/it) —
@@ -192,6 +201,9 @@ class OptimizerConfig:
             ray_range=tuple(float(x) for x in model_cfg.model.ray_range),
             encode_impl=str(dict(train).get("encode_impl", "vjp_bf16")),
             steps_per_dispatch=int(dict(train).get("steps_per_dispatch", 10)),
+            max_inflight_dispatches=int(
+                dict(train).get("max_inflight_dispatches", 2)
+            ),
             point_chunk=int(dict(train).get("point_chunk", 131072)),
             remat=str(dict(train).get("remat", "on")),
             loss=LossConfig.from_settings(model_cfg.loss),
@@ -580,9 +592,18 @@ def make_phase_runner(
             extras_log.append(rec)
 
         losses, eps_log = [], []
+        # Bound the device-queue depth (double buffering): before
+        # enqueuing chunk i, wait for chunk i-depth to finish via its
+        # (tiny) loss array. Keeps the chip busy while capping how long a
+        # concurrently dispatched tracker program can wait behind mapping
+        # work (see OptimizerConfig.max_inflight_dispatches).
+        inflight_depth = max(int(cfg.max_inflight_dispatches), 0)
         i = 0
         if k_fused > 1:
+            n_chunk = 0
             while i + k_fused <= n_iters:
+                if inflight_depth and n_chunk >= inflight_depth:
+                    jax.block_until_ready(losses[n_chunk - inflight_depth])
                 opt_params, opt_state, occ_grid, ls, es, extras = multi_step(
                     opt_params, opt_state, occ_grid, static_intensity, buffers,
                     cam_buffers, pose_mask, world_scale, world_shift,
@@ -593,6 +614,7 @@ def make_phase_runner(
                 eps_log.append(es)
                 collect(extras, k_fused)
                 i += k_fused
+                n_chunk += 1
         while i < n_iters:
             opt_params, opt_state, occ_grid, loss, eps, extras = step(
                 opt_params, opt_state, occ_grid, static_intensity, buffers,
