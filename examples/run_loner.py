@@ -159,7 +159,16 @@ def run_trial(
         scan0 = reader.read_scan(0)
         if settings.system.lidar_fov.enabled:
             scan0 = apply_fov_mask(scan0, settings.system.lidar_fov.range)
-        loner.warm_up(len(scan0))
+        t_warm = loner.warm_up(len(scan0))
+        if settings.system.get("seed_cache_only", False):
+            # Install-time cache seeding (docs/REAL_DATA.md cold-start
+            # budget): compile every tracking/mapping program into the
+            # persistent XLA cache, then exit without streaming. A later
+            # cold process on this machine pays only cache DEserialization
+            # at warm-up, not compiles.
+            print(f"seed_cache_only: programs compiled in {t_warm:.1f}s; exiting")
+            loner.stop()
+            return
 
     gt_offset = None
 
@@ -281,6 +290,11 @@ def main() -> None:
         "--cpu", action="store_true", help="force the CPU backend (debugging)"
     )
     parser.add_argument(
+        "--seed_cache", action="store_true",
+        help="compile all device programs into the persistent XLA cache "
+             "and exit (install-time cold-start seeding, docs/REAL_DATA.md)",
+    )
+    parser.add_argument(
         "--precompile", action="store_true",
         help="pre-compile all device programs before streaming "
              "(system.precompile)",
@@ -355,6 +369,10 @@ def main() -> None:
     precompile_changes = (
         {"system": {"precompile": True}} if args.precompile else None
     )
+    if args.seed_cache:
+        precompile_changes = {
+            "system": {"precompile": True, "seed_cache_only": True}
+        }
 
     options, descriptions = generate_options(
         args.config,

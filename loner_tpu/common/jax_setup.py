@@ -13,7 +13,13 @@ import os
 def enable_persistent_cache(cache_dir: str = None) -> None:
     import jax
 
-    cache_dir = cache_dir or os.path.expanduser("~/.cache/jax_compilation")
+    # LONER_COMPILE_CACHE overrides the location (cold-start measurement
+    # points it at an empty dir to simulate a fresh machine).
+    cache_dir = (
+        cache_dir
+        or os.environ.get("LONER_COMPILE_CACHE")
+        or os.path.expanduser("~/.cache/jax_compilation")
+    )
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

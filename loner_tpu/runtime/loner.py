@@ -178,7 +178,7 @@ class Loner:
             self._tracking_thread.start()
             self._mapping_thread.start()
 
-    def warm_up(self, n_points: int) -> None:
+    def warm_up(self, n_points: int) -> float:
         """Pre-compile the tracking (ICP) and mapping (phase runner)
         device programs before any data streams in.
 
@@ -195,6 +195,7 @@ class Loner:
         t_map = self._mapper.warm_up(n_points)
         print(f"Warm-up: tracker compiled in {t_track:.1f}s, "
               f"mapper in {t_map:.1f}s")
+        return t_track + t_map
 
     def stop(self) -> None:
         if not self._single_threaded:
