@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
 """Hash-path training-step bench at reference scale (one TPU chip).
 
-VERDICT r3 item 4: the hash parity path's last full measurement was
-round 1 (0.77x bar, autodiff encode); the custom-VJP bf16/f32 encodes
-added since had never been benched as a full training step. This script
+VERDICT r3 item 4: re-measure the hash parity path as a full training
+step on the current toolchain (the round-1 in-session "0.77x bar" claim
+is retracted — see docs/PERFORMANCE.md). This script
 measures the SAME workload as bench.py (8 KF x 512 rays x 512
 samples/ray joint pose+map iteration, fwd+bwd+multi-LR Adam) with the
 reference's hash scene representation (16-level x 2-feature HashGrid,
@@ -15,6 +15,12 @@ cfg/nerf_config/default_nerf_hash.yaml:17-27) across:
 OGM is the reference-parity sampler (occupancy voxel grid); PROPOSAL is
 the flagship's proposal-MLP sampler. One JSON line per combination.
 Results land in docs/PERFORMANCE.md (round-4 hash disposition).
+
+Settled result (2026-08-19, one TPU v5e chip): ~212 rays/s = 0.003x the
+bar regardless of encode impl — the backward table-gradient scatter-add
+(268M colliding random adds/iter; CUDA atomicAdd territory) has no fast
+TPU lowering. Expect ~3-4 min per combination at that rate. Full
+analysis: docs/PERFORMANCE.md "Hash-path disposition (round 4)".
 """
 import json
 import os
@@ -50,7 +56,11 @@ def bench_combo(encode_impl: str, strategy: str, buffers, w, n_rays, n_samples):
     cfg = OptimizerConfig(
         n_lidar_samples=n_rays, n_sky_samples=0, n_samples_per_ray=n_samples,
         window_size=w, ray_range=(1.0, 10.0), samples_strategy=strategy,
-        lr_sigma=0.01, steps_per_dispatch=10, point_chunk=0,
+        # point_chunk MUST stay on for the hash field at this scale: the
+        # unchunked forward gather materializes f32[2, 2.1M, 16, 8] = 34 GB
+        # (> HBM) and the compile-time OOM kills the remote compile helper.
+        # k=1 dispatch keeps the live set to one iteration's buffers.
+        lr_sigma=0.01, steps_per_dispatch=1, point_chunk=131072,
         prop_n_ctrl=33, prop_train_subsample=8,
         encode_impl=encode_impl,
     )
@@ -84,7 +94,7 @@ def bench_combo(encode_impl: str, strategy: str, buffers, w, n_rays, n_samples):
     out = runner(
         params, sampler_state, twists, buffers, jnp.ones((w,), jnp.float32),
         jnp.asarray(12.0, jnp.float32), jnp.zeros(3, jnp.float32),
-        0, jax.random.key(1), num_iterations=10,
+        0, jax.random.key(1), num_iterations=1,
     )
     np.asarray(out[3])
     compile_s = time.perf_counter() - t0
@@ -95,10 +105,10 @@ def bench_combo(encode_impl: str, strategy: str, buffers, w, n_rays, n_samples):
         out = runner(
             out[0], out[1], out[2], buffers, jnp.ones((w,), jnp.float32),
             jnp.asarray(12.0, jnp.float32), jnp.zeros(3, jnp.float32),
-            seed * 10, jax.random.key(seed), num_iterations=10,
+            seed * 10, jax.random.key(seed), num_iterations=5,
         )
         np.asarray(out[3])
-        rates.append(10 / (time.perf_counter() - t0))
+        rates.append(5 / (time.perf_counter() - t0))
     best = max(rates)
     rays_per_sec = best * w * n_rays
     rec = {

@@ -204,6 +204,18 @@ def hash_encode(table: jax.Array, pos01: jax.Array, cfg: HashEncodingConfig) -> 
 #     s_k = <feats_k, dL/dout> — no autodiff graph at all.
 #
 # Net: 2 random passes instead of 3, each optionally half-width.
+#
+# Measured envelope (round 4, TPU v5e, healthy-tunnel session): the one
+# remaining random pass — the table-gradient scatter-add — is the wall.
+# XLA serializes colliding-index scatter to ~10M updates/s, and a
+# reference-scale training iteration needs ~268M of them, so the full
+# hash training step runs ~0.05 it/s (vs the flagship Fourier field's
+# 34.5 it/s, whose gradients are dense matmuls). TPU has no atomicAdd;
+# no lowering we evaluated (one-hot matmul histogram, Pallas VMEM scalar
+# scatter, bf16 tables) closes the gap — full analysis in
+# docs/PERFORMANCE.md "Hash-path disposition (round 4)". The hash path
+# is therefore the schema-compatible parity/inference path, not a
+# training fast path, on this hardware.
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
