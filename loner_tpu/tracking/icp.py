@@ -316,12 +316,22 @@ def run_icp_schedule(
     pad_size: int = 5120,
     init: np.ndarray = None,
     knn: int = 30,
+    device=None,
 ) -> ICPResult:
     """2-stage (or N-stage) ICP like the reference tracker
     (tracker.py:205-221): each stage refines the previous stage's result
     with a tighter correspondence threshold. Thresholds are traced (one
     compiled program regardless of their values); stage count/iteration
-    caps are static."""
+    caps are static.
+
+    ``device`` (a jax.Device, optional) commits every input to that
+    device, so the compiled schedule executes there — the mechanism
+    behind ``tracker.icp.device``: on a multi-chip host the tracker's
+    ICP runs on its own chip and never queues behind mapping dispatch
+    chunks (the single-chip latency floor measured in
+    artifacts/track_latency_r4/). A chained device-array ``init``
+    produced by a previous call on the same device is re-committed
+    for free (device_put is a no-op for already-resident arrays)."""
     src, src_valid = pad_cloud(np.asarray(source, np.float32), pad_size)
     tgt, tgt_valid = pad_cloud(np.asarray(target, np.float32), pad_size)
 
@@ -337,13 +347,14 @@ def run_icp_schedule(
         for s in schedule
     )
     t0 = np.eye(4, dtype=np.float32) if init is None else init.astype(np.float32)
-    return _icp_schedule_fused(
+    operands = (
         jnp.asarray(src),
         jnp.asarray(tgt),
         jnp.asarray(src_valid),
         jnp.asarray(tgt_valid),
         thresholds,
         jnp.asarray(t0),
-        stage_params,
-        knn,
     )
+    if device is not None:
+        operands = tuple(jax.device_put(x, device) for x in operands)
+    return _icp_schedule_fused(*operands, stage_params, knn)

@@ -68,6 +68,21 @@ class Tracker:
         # frame later (~1/frame_rate); the host-blocking time per frame
         # collapses from a full dispatch round trip to a result fetch.
         self._pipelined = bool(self._settings.icp.get("pipelined", True))
+        # Multi-chip: `tracker.icp.device: k` pins the ICP stack to
+        # jax.devices()[k], so tracking never serializes behind mapping
+        # dispatch chunks on the mapper's chip (the single-chip latency
+        # floor quantified in artifacts/track_latency_r4/ — the reference
+        # gets the same isolation from CUDA preempting between its
+        # tracker/mapper processes on one GPU, loner.py:204-205). Absent
+        # or out of range = the default device (single-chip behavior).
+        dev_idx = self._settings.icp.get("device", None)
+        self._icp_device = None
+        if dev_idx is not None:
+            import jax  # deferred like the fetch path: keep module import light
+
+            devices = jax.devices()
+            if 0 <= int(dev_idx) < len(devices):
+                self._icp_device = devices[int(dev_idx)]
         self._pending = None  # (frame, ICPResult, cloud)
         self._last_relative_dev = None  # device-array init for the chain
         self._good_cloud: Optional[np.ndarray] = None  # last ACCEPTED cloud
@@ -99,6 +114,7 @@ class Tracker:
             [dict(s) for s in self._settings.icp.schedule],
             pad_size=self._icp_pad,
             init=init,
+            device=self._icp_device,
         )
         return time.time() - t0
 
@@ -231,6 +247,7 @@ class Tracker:
             [dict(s) for s in self._settings.icp.schedule],
             pad_size=self._icp_pad,
             init=init,
+            device=self._icp_device,
         )
 
     def _apply_registration(self, frame: Frame, registration: np.ndarray) -> None:

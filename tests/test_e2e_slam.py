@@ -274,3 +274,39 @@ class TestEndToEndMesh:
             "checkpoints/final.tar",
         ]:
             assert os.path.exists(os.path.join(mesh_slam_run, f)), f
+
+
+class TestEndToEndTrackerDevice:
+    """Full SLAM with the tracker's ICP pinned to a second device
+    (tracker.icp.device: 1) while the mapper keeps device 0 — the
+    multi-chip deployment split that removes tracker/mapper chip
+    contention (artifacts/track_latency_r4/ measures the single-chip
+    floor it eliminates). Sharded here over the virtual CPU devices."""
+
+    @pytest.fixture(scope="class")
+    def split_slam_run(self, synthetic_dataset, tmp_path_factory):
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+        from run_loner import run_trial
+
+        log_prefix = str(tmp_path_factory.mktemp("outputs_trkdev"))
+        settings = tiny_settings(log_prefix)
+        settings.augment({"tracker": {"icp": {"device": 1}}})
+        return run_trial(settings, synthetic_dataset, experiment_name="e2e_trkdev")
+
+    def test_trajectory_ate_matches_single_device(self, split_slam_run):
+        res = evaluate_trajectory_files(
+            os.path.join(split_slam_run, "trajectory", "estimated_trajectory.txt"),
+            os.path.join(split_slam_run, "trajectory", "groundtruth.txt"),
+            delta_m=1.0,
+        )
+        # Device placement must be semantically a no-op.
+        assert res["ate"]["rmse"] < 0.15, res["ate"]
+
+    def test_artifacts_exist(self, split_slam_run):
+        for f in [
+            "trajectory/estimated_trajectory.txt",
+            "checkpoints/final.tar",
+        ]:
+            assert os.path.exists(os.path.join(split_slam_run, f)), f

@@ -194,3 +194,78 @@ class TestTrackerChainStaysOnSE3:
         # The per-frame pose written into the frame is also on-manifold.
         fr = frame.get_lidar_pose().matrix[:3, :3]
         assert np.linalg.det(fr) == pytest.approx(1.0, abs=1e-9)
+
+
+class TestICPDevicePlacement:
+    """`tracker.icp.device: k` pins the ICP stack to jax.devices()[k]
+    (tracking/icp.py::run_icp_schedule device=). On a multi-chip host
+    this removes tracker/mapper chip contention entirely — the
+    structural latency floor measured in artifacts/track_latency_r4/.
+    Runs here on the 8-device virtual CPU mesh from conftest."""
+
+    def test_result_lands_on_requested_device_and_matches(self):
+        import jax
+
+        devices = jax.devices()
+        assert len(devices) >= 2, "conftest provides 8 virtual devices"
+        source, target, t_true = make_cloud_pair(
+            np.array([0.15, 0.1, -0.05, 0.02, -0.01, 0.05])
+        )
+        res_default = run_icp_schedule(source, target, SCHEDULE, pad_size=4096)
+        res_dev1 = run_icp_schedule(
+            source, target, SCHEDULE, pad_size=4096, device=devices[1]
+        )
+        assert res_dev1.transformation.devices() == {devices[1]}
+        np.testing.assert_allclose(
+            np.asarray(res_dev1.transformation),
+            np.asarray(res_default.transformation),
+            atol=1e-6,
+        )
+        # Chained device init (the pipelined velocity chain) stays on
+        # device 1 without an explicit re-put.
+        res_chain = run_icp_schedule(
+            source, target, SCHEDULE, pad_size=4096,
+            init=res_dev1.transformation, device=devices[1],
+        )
+        assert res_chain.transformation.devices() == {devices[1]}
+        err = Pose(np.asarray(res_chain.transformation, np.float64)).inv() * t_true
+        d_t, d_r = Pose.identity().distance_to(err)
+        assert d_t < 0.035 and d_r < 1.0
+
+    @staticmethod
+    def _make_tracker(icp_extra):
+        from loner_tpu.common.settings import Settings
+        from loner_tpu.common.signals import Signal
+        from loner_tpu.tracking.tracker import Tracker
+
+        icp = {
+            "schedule": [dict(s) for s in SCHEDULE],
+            "downsample": {"type": "UNIFORM", "target_uniform_point_count": 512},
+            "scan_duration": 1,
+            **icp_extra,
+        }
+        settings = Settings({
+            "system": {"lidar_only": True},
+            "calibration": {"lidar_to_camera": {"xyz": [0, 0, 0],
+                                                "orientation": [0, 0, 0, 1]}},
+            "tracker": {
+                "icp": icp,
+                "synchronization": {"enabled": False, "max_time_delta": 0.5},
+                "frame_synthesis": {
+                    "frame_decimation_rate_hz": 5,
+                    "frame_match_tolerance": 0.01,
+                    "frame_delta_t_sec_tolerance": 0.02,
+                    "decimate_on_load": False,
+                },
+                "motion_compensation": {"enabled": False},
+            },
+        })
+        return Tracker(settings, None, Signal(), Signal())
+
+    def test_tracker_resolves_device_setting(self):
+        import jax
+
+        # in range -> pinned; absent -> default; out of range -> default
+        assert self._make_tracker({"device": 1})._icp_device == jax.devices()[1]
+        assert self._make_tracker({})._icp_device is None
+        assert self._make_tracker({"device": 99})._icp_device is None
