@@ -183,6 +183,13 @@ class FieldConfig:
     # fourier MLP benefits from them).
     sigma_mlp_bias: bool = False
     compute_dtype: Any = jnp.float32
+    # MLP backward implementation. "vjp" (default): hand-written VJP whose
+    # hidden cotangent streams run in compute_dtype (bf16 on TPU) with f32
+    # dW/db accumulation — the HBM-bound training step's last identified
+    # f32 streams (docs/PERFORMANCE.md round 5). "xla": plain autodiff
+    # (the correctness oracle; bit-identical to "vjp" when compute_dtype
+    # is float32).
+    mlp_grad: str = "vjp"
     # Fused Pallas kernel for the fourier sigma head (encode + MLP fwd/bwd
     # VMEM-resident, ops/pallas/fourier_mlp.py). "xla" (the default) is
     # the pure-XLA path, "pallas" forces the kernel (requires
@@ -251,6 +258,7 @@ class FieldConfig:
                 nerf_cfg.get("sigma_mlp_bias", encoding == "fourier")
             ),
             compute_dtype=compute_dtype,
+            mlp_grad=str(nerf_cfg.get("mlp_grad", "vjp")),
             sigma_kernel=str(nerf_cfg.get("sigma_kernel", "xla")),
         )
 
@@ -289,6 +297,81 @@ def _apply_mlp(params: Dict[str, jax.Array], x: jax.Array, dtype) -> jax.Array:
         if not last:
             h = jax.nn.relu(h)
     return h  # f32 (from preferred_element_type)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def mlp_apply_vjp(params: Dict[str, jax.Array], x: jax.Array, dtype) -> jax.Array:
+    """``_apply_mlp`` with a hand-written backward whose hidden-activation
+    COTANGENT streams run in ``dtype`` (bf16 on TPU) instead of autodiff's
+    f32 converts; weight/bias gradients accumulate in f32 on the MXU.
+
+    Why: the training step is HBM-bandwidth-bound (docs/PERFORMANCE.md,
+    round 3 — every remaining top op sits at 650-760 GB/s) and at
+    2.1M-point batches the backward's per-layer (N, 256) cotangents are
+    the largest remaining f32 streams. This is the MLP-side twin of
+    ``fourier_encode_vjp``: residuals are exactly the forward's own
+    ``dtype`` activation buffers (no extra saves), the transpose matmuls
+    emit ``dtype``, and only the reductions (dW = hᵀg, db = Σg) use f32
+    accumulation. In f32 the path is bit-identical to autodiff (tested);
+    in bf16 grads match the f32 oracle to the same tolerance class as the
+    encode VJP (tests/test_models.py::TestMlpApplyVJP).
+    """
+    out, _ = _mlp_apply_vjp_fwd(params, x, dtype)
+    return out
+
+
+def _mlp_apply_vjp_fwd(params, x, dtype):
+    n = sum(1 for k in params if k.startswith("w"))
+    h = x.astype(dtype)
+    acts = [h]  # input to each layer, in ``dtype``
+    for i in range(n):
+        w = params[f"w{i}"].astype(dtype)
+        last = i == n - 1
+        h = jnp.dot(h, w, preferred_element_type=jnp.float32 if last else dtype)
+        if f"b{i}" in params:
+            h = h + params[f"b{i}"].astype(h.dtype)
+        if not last:
+            h = jax.nn.relu(h)
+            acts.append(h)
+    # Saving ``params`` is free (live anyway); acts[0] aliases the caller's
+    # feature buffer when it already arrives in ``dtype`` (the vjp encode's
+    # output does). The zero-size array only carries x's dtype (residual
+    # leaves must be JAX types).
+    return h, (params, tuple(acts), jnp.zeros((0,), x.dtype))
+
+
+def _mlp_apply_vjp_bwd(dtype, res, g):
+    params, acts, x_proto = res
+    x_dtype = x_proto.dtype
+    n = sum(1 for k in params if k.startswith("w"))
+    dparams = {}
+    # g arrives f32 (the forward's last layer emits f32); the cast to
+    # ``dtype`` happens at the narrow output (out_dim wide) — cheap.
+    gz = g.astype(dtype)  # cotangent of layer i's pre-activation output
+    gh = gz
+    for i in range(n - 1, -1, -1):
+        h_in = acts[i]
+        # dW = hᵀg expressed as a dot_general contracting the batch dim
+        # (no materialized transpose; matches autodiff's transpose rule
+        # bit-for-bit in f32), f32 accumulation.
+        dparams[f"w{i}"] = jax.lax.dot_general(
+            h_in, gz, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if f"b{i}" in params:
+            dparams[f"b{i}"] = jnp.sum(gz, axis=0, dtype=jnp.float32)
+        gh = jax.lax.dot_general(
+            gz, params[f"w{i}"].astype(dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=dtype,
+        )
+        if i > 0:
+            # acts[i] is layer i-1's post-ReLU output: mask is (h > 0)
+            # (matches jax.nn.relu's zero subgradient at 0).
+            gz = jnp.where(h_in > 0, gh, jnp.zeros((), dtype))
+    return dparams, gh.astype(x_dtype)
+
+
+mlp_apply_vjp.defvjp(_mlp_apply_vjp_fwd, _mlp_apply_vjp_bwd)
 
 
 def init_field_params(key: jax.Array, cfg: FieldConfig) -> Dict[str, Any]:
@@ -344,6 +427,12 @@ def _fused_sigma(sigma_params, pos01, cfg: FieldConfig) -> jax.Array:
     )
 
 
+def _mlp(params_mlp, x, cfg: FieldConfig) -> jax.Array:
+    if cfg.mlp_grad == "vjp":
+        return mlp_apply_vjp(params_mlp, x, cfg.compute_dtype)
+    return _apply_mlp(params_mlp, x, cfg.compute_dtype)
+
+
 def query_sigma(
     params: Dict[str, Any],
     pos: jax.Array,
@@ -359,7 +448,7 @@ def query_sigma(
     if _use_fused_fourier(cfg):
         return _fused_sigma(params["sigma"], pos01, cfg)
     feats = _encode_sigma(params["sigma"], pos01, cfg, encode_fn)
-    return _apply_mlp(params["sigma"]["mlp"], feats, cfg.compute_dtype)
+    return _mlp(params["sigma"]["mlp"], feats, cfg)
 
 
 def query_field(
@@ -386,7 +475,7 @@ def query_field(
         sigma = _fused_sigma(sigma_params, pos01, cfg)
     else:
         feats = _encode_sigma(sigma_params, pos01, cfg, encode_fn)
-        sigma = _apply_mlp(sigma_params["mlp"], feats, cfg.compute_dtype)
+        sigma = _mlp(sigma_params["mlp"], feats, cfg)
     finfo = jnp.finfo(cfg.compute_dtype)
     sigma = jnp.nan_to_num(sigma, posinf=finfo.max, neginf=finfo.min)
 
@@ -400,5 +489,5 @@ def query_field(
     if cfg.enable_view_dependence:
         h_d = sh_encode(dirs01, cfg.sh_degree)
         h_x = jnp.concatenate([h_x, h_d.astype(h_x.dtype)], axis=-1)
-    color = jax.nn.sigmoid(_apply_mlp(params["intensity"]["mlp"], h_x, cfg.compute_dtype))
+    color = jax.nn.sigmoid(_mlp(params["intensity"]["mlp"], h_x, cfg))
     return jnp.concatenate([color, sigma], axis=-1)

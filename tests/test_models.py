@@ -191,6 +191,95 @@ class TestFourierEncodeVJP:
         assert FourierConfig().encode_impl == "vjp"
 
 
+class TestMlpApplyVJP:
+    """The custom-VJP MLP (bf16 cotangent streams) must match the
+    plain-autodiff oracle: bit-identical in f32, within bf16 rounding of
+    the f32 oracle otherwise — for weights, biases, AND the input
+    cotangent that feeds the encode backward."""
+
+    def _params(self, rng, dims, bias):
+        from loner_tpu.models.field import MLPConfig, _init_mlp
+
+        cfg = MLPConfig(
+            n_neurons=dims[1], n_hidden_layers=len(dims) - 2, output_dim=dims[-1]
+        )
+        return _init_mlp(jax.random.key(rng), dims[0], cfg, bias=bias)
+
+    def _grads(self, apply_fn, params, x, dtype):
+        def loss(p, xx):
+            out = apply_fn(p, xx, dtype)
+            return jnp.sum(jnp.tanh(out.astype(jnp.float32)))
+
+        return jax.grad(loss, argnums=(0, 1))(params, x)
+
+    @pytest.mark.parametrize("bias", [False, True])
+    def test_f32_exact_vs_autodiff(self, bias):
+        from loner_tpu.models.field import _apply_mlp, mlp_apply_vjp
+
+        params = self._params(11, [99, 64, 64, 1], bias)
+        x = jnp.asarray(
+            np.random.default_rng(5).normal(size=(128, 99)), jnp.float32
+        )
+        np.testing.assert_array_equal(
+            np.asarray(_apply_mlp(params, x, jnp.float32)),
+            np.asarray(mlp_apply_vjp(params, x, jnp.float32)),
+        )
+        gp_ref, gx_ref = self._grads(_apply_mlp, params, x, jnp.float32)
+        gp_vjp, gx_vjp = self._grads(mlp_apply_vjp, params, x, jnp.float32)
+        np.testing.assert_array_equal(np.asarray(gx_ref), np.asarray(gx_vjp))
+        for k in gp_ref:
+            np.testing.assert_array_equal(
+                np.asarray(gp_ref[k]), np.asarray(gp_vjp[k])
+            )
+
+    def test_bf16_grads_near_bf16_autodiff(self):
+        """In bf16 the right oracle is AUTODIFF-bf16 (the shipped
+        pre-round-5 behavior): both share the bf16 FORWARD's activation
+        rounding (measured ~0.1 of grad scale on gx vs the f32 oracle,
+        identically for both), so the VJP must sit within bf16 rounding of
+        autodiff-bf16 — the backward's own contribution."""
+        from loner_tpu.models.field import _apply_mlp, mlp_apply_vjp
+
+        params = self._params(13, [99, 256, 256, 1], bias=True)
+        x = jnp.asarray(
+            np.random.default_rng(9).normal(size=(512, 99)), jnp.float32
+        )
+        out = mlp_apply_vjp(params, x, jnp.bfloat16)
+        assert out.dtype == jnp.float32  # last layer emits f32
+        gp_ref, gx_ref = self._grads(_apply_mlp, params, x, jnp.bfloat16)
+        gp_vjp, gx_vjp = self._grads(mlp_apply_vjp, params, x, jnp.bfloat16)
+
+        def rel(a, b):
+            a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            return float(np.abs(a - b).max()) / max(float(np.abs(a).max()), 1e-12)
+
+        assert rel(gx_ref, gx_vjp) < 1e-2
+        for k in gp_ref:
+            # Biases legitimately differ a little more: the VJP's db is
+            # f32-ACCUMULATED (closer to the f32 oracle than autodiff-bf16's
+            # own reduction — test below pins that), so vs the bf16-autodiff
+            # oracle it carries both backends' reduction rounding.
+            assert rel(gp_ref[k], gp_vjp[k]) < 3e-2, k
+
+    def test_bf16_matches_bf16_autodiff_class(self):
+        """vjp-bf16 must be no further from the f32 oracle than
+        autodiff-bf16 is (the shipped pre-round-5 behavior), within 2x."""
+        from loner_tpu.models.field import _apply_mlp, mlp_apply_vjp
+
+        params = self._params(17, [99, 256, 256, 1], bias=True)
+        x = jnp.asarray(
+            np.random.default_rng(21).normal(size=(512, 99)), jnp.float32
+        )
+        gp_f32, _ = self._grads(_apply_mlp, params, x, jnp.float32)
+        gp_ad16, _ = self._grads(_apply_mlp, params, x, jnp.bfloat16)
+        gp_vjp16, _ = self._grads(mlp_apply_vjp, params, x, jnp.bfloat16)
+        for k in gp_f32:
+            ref = np.asarray(gp_f32[k], np.float32)
+            e_ad = np.abs(np.asarray(gp_ad16[k], np.float32) - ref).max()
+            e_vjp = np.abs(np.asarray(gp_vjp16[k], np.float32) - ref).max()
+            assert e_vjp <= 2.0 * e_ad + 1e-6, (k, e_vjp, e_ad)
+
+
 class TestSHEncoding:
     def test_constant_term(self):
         dirs = jnp.asarray(np.random.default_rng(0).normal(size=(8, 3)), jnp.float32)
