@@ -282,7 +282,20 @@ def main() -> None:
         help="also render virtual-camera images into the synthetic "
              "dataset (intensity supervision)",
     )
-    parser.add_argument("--gpu_ids", nargs="*", default=None, help="ignored (single-chip)")
+    parser.add_argument(
+        "--gpu_ids", nargs="*", default=None,
+        help="device ordinals for --trial_workers pinning (reference "
+             "--gpu_ids semantics; ignored when trials run sequentially)",
+    )
+    parser.add_argument(
+        "--trial_workers", type=int, default=0,
+        help="run sweep/repeat trials through a pool of this many "
+             "per-device subprocesses (reference fans one process per "
+             "GPU, run_loner.py:339-424); 0/1 = sequential in-process",
+    )
+    parser.add_argument(
+        "--_trial_spec", default=None, help=argparse.SUPPRESS
+    )
     parser.add_argument(
         "--lite", action="store_true", help="reduced model for quick runs / CPU"
     )
@@ -305,6 +318,25 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args._trial_spec is not None:
+        # Pool-worker mode: run exactly one trial from a pickled spec
+        # (written by the parent below). Device pinning arrived via the
+        # environment (TPU_VISIBLE_DEVICES) before the backend
+        # initialized; --cpu was forwarded on the command line.
+        import pickle
+
+        with open(args._trial_spec, "rb") as f:
+            spec = pickle.load(f)
+        run_trial(
+            Settings(spec["settings"]),
+            spec["dataset_path"],
+            experiment_name=spec["experiment_name"],
+            config_idx=spec["config_idx"],
+            trial_idx=spec["trial_idx"],
+            duration=spec["duration"],
+        )
+        return
 
     if args.resume is not None:
         import pickle
@@ -415,15 +447,55 @@ def main() -> None:
             duration=args.duration,
         )
 
-    # SLAM trials run SEQUENTIALLY even on multi-device hosts: a trial
-    # spawns its own tracker/mapper threads (runtime/loner.py), and
-    # jax.default_device is thread-local — a device-pool worker's binding
-    # would not reach those threads, so concurrent trials would all pile
-    # onto device 0 (the reference fans out via per-GPU PROCESSES with
-    # CUDA_VISIBLE_DEVICES, run_loner.py:394-424, which has no
-    # single-process analog). The device pool still parallelizes the
-    # offline tools (renderer_lidar, compute_l1_depth, flythrough),
-    # whose workers stay single-threaded.
+    # Multi-trial fan-out (reference run_loner.py:339-424): one
+    # SUBPROCESS per trial, at most --trial_workers in flight, each
+    # pinned to a device via the environment (a single process cannot
+    # run concurrent trials: each spawns tracker/mapper threads and
+    # jax.default_device is thread-local). Default stays sequential
+    # in-process — correct on the 1-chip/1-core hosts this repo is
+    # benchmarked on.
+    if args.trial_workers > 1 and len(jobs) > 1:
+        import pickle
+        import tempfile
+
+        from loner_tpu.parallel.trial_pool import run_pool
+
+        spec_dir = tempfile.mkdtemp(prefix="loner_trials_")
+        commands = []
+        for j, (settings, config_idx, trial_idx) in enumerate(jobs):
+            spec = {
+                "settings": settings.as_plain_dict(),
+                "dataset_path": dataset_path,
+                "experiment_name": args.experiment_name,
+                "config_idx": config_idx if multi else None,
+                "trial_idx": trial_idx if args.num_repeats > 1 else None,
+                "duration": args.duration,
+            }
+            spec_path = os.path.join(spec_dir, f"trial_{j}.pkl")
+            with open(spec_path, "wb") as f:
+                pickle.dump(spec, f)
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--_trial_spec", spec_path]
+            if args.cpu:
+                cmd.append("--cpu")
+            commands.append(cmd)
+        results = run_pool(
+            commands, args.trial_workers, devices=args.gpu_ids,
+            on_start=lambda idx, dev: print(
+                f"trial {idx}: started"
+                + (f" on device {dev}" if dev is not None else "")
+            ),
+        )
+        failed = [r for r in results if r.returncode != 0]
+        for r in results:
+            print(
+                f"trial {r.index}: rc={r.returncode} wall={r.wall_s:.1f}s"
+                + (f" device={r.device}" if r.device is not None else "")
+            )
+        if failed:
+            sys.exit(1)
+        return
+
     for job in jobs:
         run_one(job, None)
 

@@ -90,7 +90,7 @@ def run_variant(mlp_grad: str, buffers, reps: int) -> dict:
         "best_it_per_s": round(best, 2),
         "best_rays_per_s": round(best * w * n_rays, 1),
         "all_it_per_s": [round(r, 2) for r in rates],
-        "final_loss": float(np.asarray(out[3])),
+        "final_loss": float(np.asarray(out[3]).ravel()[-1]),
         "compile_s": round(compile_s, 1),
     }
     print(json.dumps(res), flush=True)

@@ -7,6 +7,25 @@ works unchanged when available; this module additionally provides native
 implementations (timestamp association, SE(3)/Umeyama alignment, ATE
 RMSE, RPE at a distance delta) so the metric pipeline has no external
 dependency.
+
+Cross-validation against evo (for a machine that has it): the native
+numbers are validated here against self-built golden cases
+(tests/test_traj_metrics.py) — analytic trajectories with known ATE/RPE,
+including alignment and association edge cases. To close the loop against
+the real tool, run on any machine with evo installed:
+
+    evo_ape tum groundtruth.txt estimated_trajectory.txt -a
+    evo_rpe tum groundtruth.txt estimated_trajectory.txt -a \
+        --delta 3 --delta_unit m --pose_relation trans_part
+    python -m loner_tpu.analysis.traj_metrics estimated_trajectory.txt \
+        groundtruth.txt --delta_m 3
+
+and compare `ate.rmse` / `rpe_trans.rmse` — both pipelines implement
+timestamp association (0.02 s default window), SE(3) Umeyama alignment,
+and the same RMSE definitions, so they should agree to float precision
+on identical pairs (evo's association can keep a slightly different pair
+set on dense trajectories; sub-millimeter RMSE differences are expected
+there, not a defect).
 """
 from __future__ import annotations
 

@@ -24,3 +24,20 @@ from loner_tpu.common.jax_setup import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache(os.path.expanduser("~/.cache/jax_test_compilation"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_configure(config):
+    # Suite tiers (README "Running the tests"): the fast suite is
+    #   python -m pytest tests/ -q -m "not slow"
+    # and finishes in well under 5 minutes on the 1-core CPU host; the
+    # full suite adds the slow/e2e drives (~10+ min total).
+    config.addinivalue_line(
+        "markers",
+        "slow: takes >~30s on the 1-core CPU host; excluded from the "
+        "fast suite (-m 'not slow')",
+    )
+    config.addinivalue_line(
+        "markers",
+        "e2e: full-pipeline drive (threaded SLAM, CLI subprocess, camera "
+        "training); all e2e tests are also slow",
+    )
