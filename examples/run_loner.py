@@ -42,17 +42,28 @@ def build_synthetic_dataset(
         BoxRoomScene,
         VirtualCamera,
         VirtualLidar,
+        generate_courtyard_sequence,
         generate_sequence,
     )
 
-    # open_sky removes the ceiling: upward rays return nothing, so the
-    # tracker's sky segmentation finds real sky regions and the mapper's
-    # sky supervision has something to carve (reference tracker.py:257-296).
-    scene = BoxRoomScene(open_top=(scene_name == "open_sky"))
-    scans, poses, ts, scene, _ = generate_sequence(
-        num_scans=num_scans, scene=scene,
-        lidar=VirtualLidar(num_channels=32, num_columns=512),
-    )
+    if scene_name.startswith("courtyard"):
+        # Reference-scale scene (64 x 48 m, ray_range [1, 50] envelope —
+        # canteen-class per /root/reference/cfg/fusion_portable/
+        # canteen.yaml:19); num_scans is ignored — the length is set by
+        # the waypoint loop (~150 s at walking speed). The "_actors"
+        # variant adds moving pedestrians (robustness drill).
+        scans, poses, ts, scene, _ = generate_courtyard_sequence(
+            with_actors=scene_name.endswith("_actors"),
+        )
+    else:
+        # open_sky removes the ceiling: upward rays return nothing, so the
+        # tracker's sky segmentation finds real sky regions and the mapper's
+        # sky supervision has something to carve (reference tracker.py:257-296).
+        scene = BoxRoomScene(open_top=(scene_name == "open_sky"))
+        scans, poses, ts, scene, _ = generate_sequence(
+            num_scans=num_scans, scene=scene,
+            lidar=VirtualLidar(num_channels=32, num_columns=512),
+        )
     # Write to a staging dir and rename: an interrupted build must not
     # leave a half-written dataset that later runs mistake for complete.
     staging = tmp_dir.rstrip("/") + ".partial"
@@ -272,10 +283,13 @@ def main() -> None:
         help="scan count when dataset_path is 'synthetic'",
     )
     parser.add_argument(
-        "--synthetic_scene", choices=["box_room", "open_sky"],
+        "--synthetic_scene",
+        choices=["box_room", "open_sky", "courtyard", "courtyard_actors"],
         default="box_room",
         help="scene variant when dataset_path is 'synthetic' (open_sky "
-        "removes the ceiling so sky segmentation finds real sky)",
+        "removes the ceiling so sky segmentation finds real sky; "
+        "courtyard is the reference-scale 64x48 m outdoor scene, "
+        "courtyard_actors adds moving pedestrians)",
     )
     parser.add_argument(
         "--synthetic_camera", action="store_true",
@@ -368,14 +382,22 @@ def main() -> None:
 
     if args.dataset_path == "synthetic":
         n = args.synthetic_scans
-        suffix = "" if n == 100 else f"_{n}"
+        if args.synthetic_scene.startswith("courtyard"):
+            suffix = ""  # sequence length comes from the waypoint loop
+        else:
+            suffix = "" if n == 100 else f"_{n}"
         if args.synthetic_camera:
             suffix += "_cam"
         if args.synthetic_scene != "box_room":
             suffix += f"_{args.synthetic_scene}"
         dataset_path = os.path.join("./outputs", f"synthetic_dataset{suffix}")
         if not os.path.exists(os.path.join(dataset_path, "scans")):
-            print(f"Generating synthetic dataset ({n} scans)...")
+            desc = (
+                args.synthetic_scene
+                if args.synthetic_scene.startswith("courtyard")
+                else f"{n} scans"
+            )
+            print(f"Generating synthetic dataset ({desc})...")
             build_synthetic_dataset(
                 dataset_path, num_scans=n, with_camera=args.synthetic_camera,
                 scene_name=args.synthetic_scene,

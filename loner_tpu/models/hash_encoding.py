@@ -263,14 +263,35 @@ def _hash_encode_vjp_bwd(cfg, compute_dtype, residual_dtype, res, g):
     idx, w = hash_corner_indices(pos01, cfg)  # recomputed: VPU-only
     gl = g.reshape(n, n_levels, 1, f_dim).astype(jnp.float32)
 
-    # Table gradient: one scatter-add, float32 accumulation.
-    upd = (w[..., None] * gl).reshape(-1, f_dim)  # (N*L*8, F)
-    dtable = (
-        jnp.zeros(table_shape, jnp.float32)
-        .at[idx.reshape(-1)]
-        .add(upd)
-        .astype(table_dtype)
-    )
+    # Table gradient, float32 accumulation — per-level sort + segmented
+    # sum, the canonical TPU embedding-gradient idiom. A flat
+    # scatter-add serializes on colliding indices (~12M updates/s
+    # measured); sorting each level's updates by table index and
+    # reducing runs with segment_sum(indices_are_sorted=True) runs 6.6x
+    # faster (78.7M updates/s) and is bit-exact vs the scatter
+    # (examples/scripts/bench_hash_sortgrad.py, round 5; per-LEVEL
+    # sorts — 16 x 1.05M — beat one flat 16.8M sort, whose O(n log^2 n)
+    # cost erases the win).
+    upd = w[..., None] * gl  # (N, L, 8, F)
+    offsets = cfg.level_offsets()
+    sizes = cfg.level_table_sizes()
+    level_grads = []
+    for lvl in range(n_levels):
+        li = idx[:, lvl, :].reshape(-1) - np.int32(offsets[lvl])
+        lu = upd[:, lvl, :, :].reshape(-1, f_dim)
+        sorted_cols = jax.lax.sort(
+            (li, *(lu[:, j] for j in range(f_dim))), num_keys=1
+        )
+        level_grads.append(
+            jax.ops.segment_sum(
+                jnp.stack(sorted_cols[1:], axis=-1),
+                sorted_cols[0],
+                num_segments=int(sizes[lvl]),
+                indices_are_sorted=True,
+            )
+        )
+    dtable = jnp.concatenate(level_grads, axis=0).astype(table_dtype)
+    assert dtable.shape == table_shape
 
     # Position gradient through the trilerp weights.
     feats = res_feats.reshape(n, n_levels, 8, f_dim).astype(jnp.float32)
