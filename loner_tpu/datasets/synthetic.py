@@ -441,9 +441,19 @@ def generate_courtyard_sequence(
     rate_hz: float = 10.0,
     lidar: Optional[VirtualLidar] = None,
 ) -> Tuple[List[LidarScan], np.ndarray, np.ndarray, BoxRoomScene, VirtualLidar]:
-    """The reference-scale drive sequence (~150 s at walking speed)."""
+    """The reference-scale drive sequence (~150 s at walking speed).
+
+    The default sensor is 64 channels x 1024 columns (~65k points/scan)
+    — the reference's operating envelope is an Ouster OS1-128 masked to
+    the same +/-22.5 deg vFOV (canteen.yaml:28, 60-130k points/scan per
+    the motion-compensation sizes in src/common/sensors.py); a 32x512
+    virtual sensor under-constrains ICP at 50 m ranges (0.37 m azimuth
+    spacing at 30 m) and costs ~2x the odometry drift.
+    """
     scene, waypoints, speed = make_courtyard(with_actors=with_actors)
-    lidar = lidar or VirtualLidar(max_range=60.0)
+    lidar = lidar or VirtualLidar(
+        num_channels=64, num_columns=1024, max_range=60.0
+    )
     poses, ts = make_waypoint_trajectory(waypoints, speed=speed, rate_hz=rate_hz)
     scans = [
         make_scan(scene, lidar, Pose(poses[i]), ts[i], noise_std=noise_std, seed=i)

@@ -166,8 +166,18 @@ class FieldConfig:
     encoding_sigma: str = "hash"
     pos_encoding_sigma: HashEncodingConfig = dc_field(default_factory=HashEncodingConfig)
     fourier_sigma: FourierConfig = dc_field(default_factory=FourierConfig)
+    # The intensity head's positional encoding: "hash" is the
+    # reference-parity default (HashGrid 2^19, nerf_tcnn.py:40-52);
+    # "fourier" is the TPU flagship option — training the intensity head
+    # with a hash table pays the table-gradient sort/segment-sum pass
+    # every camera iteration, while the fourier branch is pure MXU
+    # matmuls like the sigma flagship.
+    encoding_intensity: str = "hash"
     pos_encoding_intensity: HashEncodingConfig = dc_field(
         default_factory=lambda: HashEncodingConfig(log2_hashmap_size=19)
+    )
+    fourier_intensity: FourierConfig = dc_field(
+        default_factory=lambda: FourierConfig(seed=4321)
     )
     sigma_mlp: MLPConfig = dc_field(default_factory=MLPConfig)
     intensity_mlp: MLPConfig = dc_field(
@@ -208,6 +218,12 @@ class FieldConfig:
             return self.fourier_sigma.output_dim
         return self.pos_encoding_sigma.output_dim
 
+    @property
+    def intensity_pos_dim(self) -> int:
+        if self.encoding_intensity == "fourier":
+            return self.fourier_intensity.output_dim
+        return self.pos_encoding_intensity.output_dim
+
     @staticmethod
     def from_settings(nerf_cfg: dict, num_colors: int = 3, compute_dtype=jnp.float32) -> "FieldConfig":
         """Build from the reference-format nerf config yaml
@@ -218,6 +234,12 @@ class FieldConfig:
             raise ValueError(
                 f"unknown encoding_sigma {encoding!r}: expected 'hash' "
                 "(reference-parity HashGrid) or 'fourier' (TPU-native flagship)"
+            )
+        encoding_intensity = str(nerf_cfg.get("encoding_intensity", "hash"))
+        if encoding_intensity not in ("hash", "fourier"):
+            raise ValueError(
+                f"unknown encoding_intensity {encoding_intensity!r}: "
+                "expected 'hash' or 'fourier'"
             )
         sigma_net = nerf_cfg["sigma_network"]
         if "compute_dtype" in nerf_cfg:
@@ -235,8 +257,12 @@ class FieldConfig:
             fourier_sigma=FourierConfig.from_settings(
                 nerf_cfg.get("fourier_sigma", {})
             ),
+            encoding_intensity=encoding_intensity,
             pos_encoding_intensity=HashEncodingConfig.from_settings(
                 nerf_cfg["pos_encoding_intensity"]
+            ),
+            fourier_intensity=FourierConfig.from_settings(
+                {"seed": 4321, **nerf_cfg.get("fourier_intensity", {})}
             ),
             sigma_mlp=MLPConfig(
                 n_neurons=int(sigma_net["n_neurons"]),
@@ -377,7 +403,7 @@ mlp_apply_vjp.defvjp(_mlp_apply_vjp_fwd, _mlp_apply_vjp_bwd)
 def init_field_params(key: jax.Array, cfg: FieldConfig) -> Dict[str, Any]:
     k1, k2, k3, k4 = jax.random.split(key, 4)
     sigma_in = cfg.sigma_input_dim
-    intensity_in = cfg.pos_encoding_intensity.output_dim + (
+    intensity_in = cfg.intensity_pos_dim + (
         cfg.sh_degree ** 2 if cfg.enable_view_dependence else 0
     )
     sigma_params: Dict[str, Any] = {
@@ -385,12 +411,14 @@ def init_field_params(key: jax.Array, cfg: FieldConfig) -> Dict[str, Any]:
     }
     if cfg.encoding_sigma != "fourier":
         sigma_params["table"] = init_hash_table(k1, cfg.pos_encoding_sigma)
+    intensity_params: Dict[str, Any] = {
+        "mlp": _init_mlp(k4, intensity_in, cfg.intensity_mlp)
+    }
+    if cfg.encoding_intensity != "fourier":
+        intensity_params["table"] = init_hash_table(k3, cfg.pos_encoding_intensity)
     return {
         "sigma": sigma_params,
-        "intensity": {
-            "table": init_hash_table(k3, cfg.pos_encoding_intensity),
-            "mlp": _init_mlp(k4, intensity_in, cfg.intensity_mlp),
-        },
+        "intensity": intensity_params,
     }
 
 
@@ -483,9 +511,17 @@ def query_field(
         return sigma
 
     dirs01 = (dirs + 1.0) * 0.5
-    h_x = (encode_fn or hash_encode)(
-        params["intensity"]["table"], pos01, cfg.pos_encoding_intensity
-    )
+    if cfg.encoding_intensity == "fourier":
+        if cfg.fourier_intensity.encode_impl == "vjp":
+            h_x = fourier_encode_vjp(
+                pos01, cfg.fourier_intensity, cfg.compute_dtype
+            )
+        else:
+            h_x = fourier_encode(pos01, cfg.fourier_intensity)
+    else:
+        h_x = (encode_fn or hash_encode)(
+            params["intensity"]["table"], pos01, cfg.pos_encoding_intensity
+        )
     if cfg.enable_view_dependence:
         h_d = sh_encode(dirs01, cfg.sh_degree)
         h_x = jnp.concatenate([h_x, h_d.astype(h_x.dtype)], axis=-1)

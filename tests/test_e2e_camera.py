@@ -18,6 +18,9 @@ from loner_tpu.datasets.synthetic import (
     generate_sequence,
 )
 
+# Suite tier (tests/conftest.py): full-pipeline drive, >30 s on CPU.
+pytestmark = [pytest.mark.slow, pytest.mark.e2e]
+
 NUM_SCANS = 20
 CAM = VirtualCamera(width=48, height=32, fov_deg=70.0)
 
@@ -201,3 +204,36 @@ def test_render_sequence_pose_subsetting(camera_slam_run, tmp_path):
     )
     depth = np.load(os.path.join(out, "depth_0000.npy"))
     assert depth.shape == (16, 32) and np.isfinite(depth).all()
+
+
+def test_compute_psnr_metric(camera_slam_run, camera_dataset):
+    """analysis/compute_psnr renders the trained head at camera poses and
+    reports a PSNR (VERDICT r4 item 8's measurement path). Oracle:
+    each render must match ITS OWN ground-truth image better than a
+    different image from the sequence — pose/image correspondence is
+    right and the render carries scene-specific signal. (An absolute
+    bar belongs to the full-scale drive, not this 20-scan fixture run.)
+    """
+    from loner_tpu.analysis.compute_psnr import compute_psnr
+    from loner_tpu.models.losses import img_to_mse, mse_to_psnr
+
+    root, _, _ = camera_dataset
+    result = compute_psnr(
+        camera_slam_run, root, num_images=4, n_samples=128, write=True,
+        save_renders=True,
+    )
+    assert result["num_images"] >= 2
+    assert np.isfinite(result["mean"]) and result["min"] > 0
+    assert os.path.exists(
+        os.path.join(camera_slam_run, "metrics", "psnr.yaml")
+    )
+    render_dir = os.path.join(camera_slam_run, "intensity_renders")
+    ids = [r["image"] for r in result["images"]]
+    preds = [np.load(os.path.join(render_dir, f"pred_{i:04d}.npy")) for i in ids]
+    gts = [np.load(os.path.join(render_dir, f"gt_{i:04d}.npy")) for i in ids]
+    matched = [float(mse_to_psnr(img_to_mse(p, g))) for p, g in zip(preds, gts)]
+    mismatched = [
+        float(mse_to_psnr(img_to_mse(p, gts[(k + 2) % len(gts)])))
+        for k, p in enumerate(preds)
+    ]
+    assert np.mean(matched) > np.mean(mismatched), (matched, mismatched)

@@ -16,6 +16,9 @@ from loner_tpu.analysis.traj_metrics import evaluate_trajectory_files
 from loner_tpu.datasets.scan_stream import ScanStreamWriter
 from loner_tpu.datasets.synthetic import VirtualLidar, generate_sequence
 
+# Suite tier (tests/conftest.py): full-pipeline drive, >30 s on CPU.
+pytestmark = [pytest.mark.slow, pytest.mark.e2e]
+
 
 NUM_SCANS = 24
 

@@ -25,6 +25,9 @@ from test_rosbag_ingest import (
     _tf_bytes,
 )
 
+# Suite tier (tests/conftest.py): full-pipeline drive, >30 s on CPU.
+pytestmark = [pytest.mark.slow, pytest.mark.e2e]
+
 NUM_SCANS = 24
 
 

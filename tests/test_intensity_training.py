@@ -7,6 +7,7 @@ phase with ``freeze_rgb_mlp: False`` must actually move the intensity
 parameters under the camera MSE loss — and a frozen phase must leave them
 bit-identical.
 """
+import pytest  # noqa: E402  (tier marker)
 import jax
 import numpy as np
 
@@ -21,6 +22,9 @@ from loner_tpu.mapping.optimizer import Optimizer, OptimizerConfig
 from loner_tpu.models.rendering import ProposalRaySampler
 
 from test_mapping import RAY_RANGE, make_keyframes, small_field_cfg, small_opt_cfg
+
+# Suite tier (tests/conftest.py): full-pipeline drive, >30 s on CPU.
+pytestmark = [pytest.mark.slow]
 
 
 def _camera_setup(kfs, scene):

@@ -28,6 +28,9 @@ import __graft_entry__ as graft
 from loner_tpu.mapping.optimizer import Optimizer
 from loner_tpu.parallel.mesh import make_mesh, make_mesh_2d
 
+# Suite tier (tests/conftest.py): full-pipeline drive, >30 s on CPU.
+pytestmark = [pytest.mark.slow]
+
 
 def _drive(mesh):
     """Both schedule phases at production shape; fresh (deterministic)

@@ -597,6 +597,69 @@ class TestMarchingTetrahedra:
         assert len(verts) == 0 and len(faces) == 0
 
 
+class TestFourierIntensity:
+    """encoding_intensity: fourier — the TPU flagship option for the
+    intensity head (the hash table's gradient pays a sort/segment-sum
+    pass per camera iteration; the fourier branch is pure matmuls)."""
+
+    def _cfg(self):
+        from loner_tpu.models.field import FourierConfig
+
+        return FieldConfig(
+            encoding_sigma="fourier",
+            encoding_intensity="fourier",
+            fourier_intensity=FourierConfig(n_freqs=16, scale=4.0, seed=4321),
+            density_activation="softplus",
+            sigma_mlp_bias=True,
+        )
+
+    def test_no_table_and_output_shape(self):
+        cfg = self._cfg()
+        params = init_field_params(jax.random.key(0), cfg)
+        assert "table" not in params["intensity"]
+        pos = jax.random.uniform(jax.random.key(1), (32, 3), minval=-1, maxval=1)
+        dirs = pos / jnp.linalg.norm(pos, axis=-1, keepdims=True)
+        out = query_field(params, pos, dirs, cfg)
+        assert out.shape == (32, 4)
+        assert (out[:, :3] >= 0).all() and (out[:, :3] <= 1).all()  # sigmoid
+
+    def test_gradients_flow_to_intensity_mlp(self):
+        cfg = self._cfg()
+        params = init_field_params(jax.random.key(0), cfg)
+        pos = jax.random.uniform(jax.random.key(1), (32, 3), minval=-1, maxval=1)
+        dirs = pos / jnp.linalg.norm(pos, axis=-1, keepdims=True)
+        g = jax.grad(lambda p: query_field(p, pos, dirs, cfg)[:, :3].sum())(params)
+        total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g["intensity"]))
+        assert total > 0
+
+    def test_from_settings_parses_fourier_intensity(self):
+        cfg = FieldConfig.from_settings(
+            {
+                "encoding_sigma": "fourier",
+                "encoding_intensity": "fourier",
+                "fourier_intensity": {"n_freqs": 24, "scale": 5.0},
+                "sigma_network": {"n_neurons": 64, "n_hidden_layers": 1},
+                "intensity_network": {"n_neurons": 64, "n_hidden_layers": 2},
+                "pos_encoding_intensity": {},
+            }
+        )
+        assert cfg.encoding_intensity == "fourier"
+        assert cfg.fourier_intensity.n_freqs == 24
+        # Distinct default seed: the intensity features must not reuse the
+        # sigma head's projection matrix.
+        assert cfg.fourier_intensity.seed == 4321
+
+    def test_unknown_encoding_intensity_raises(self):
+        with pytest.raises(ValueError, match="encoding_intensity"):
+            FieldConfig.from_settings(
+                {
+                    "encoding_intensity": "forier",
+                    "sigma_network": {"n_neurons": 64, "n_hidden_layers": 1},
+                    "pos_encoding_intensity": {},
+                }
+            )
+
+
 class TestConfigValidation:
     """Unknown config values must fail loudly, not silently take a default
     path (the freeze_rgb_mlp parse-and-ignore trap from VERDICT r2)."""

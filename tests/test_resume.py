@@ -23,6 +23,9 @@ from loner_tpu.mapping.mapper import load_checkpoint
 
 from test_e2e_slam import NUM_SCANS, synthetic_dataset, tiny_settings  # noqa: F401
 
+# Suite tier (tests/conftest.py): full-pipeline drive, >30 s on CPU.
+pytestmark = [pytest.mark.slow, pytest.mark.e2e]
+
 
 @pytest.fixture(scope="module")
 def resumed_run(synthetic_dataset, tmp_path_factory):  # noqa: F811

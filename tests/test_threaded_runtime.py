@@ -7,6 +7,9 @@ import sys
 import numpy as np
 import pytest
 
+# Suite tier (tests/conftest.py): full-pipeline drive, >30 s on CPU.
+pytestmark = [pytest.mark.slow, pytest.mark.e2e]
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 
 
