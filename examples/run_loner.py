@@ -34,7 +34,8 @@ from loner_tpu.runtime.loner import Loner
 
 def build_synthetic_dataset(
     tmp_dir: str, num_scans: int = 100, with_camera: bool = False,
-    scene_name: str = "box_room",
+    scene_name: str = "box_room", noise_std: float = 0.0,
+    dropout: float = 0.0,
 ) -> str:
     from loner_tpu.common.pose import Pose
     from loner_tpu.datasets.scan_stream import ScanStreamWriter
@@ -54,6 +55,7 @@ def build_synthetic_dataset(
         # variant adds moving pedestrians (robustness drill).
         scans, poses, ts, scene, _ = generate_courtyard_sequence(
             with_actors=scene_name.endswith("_actors"),
+            noise_std=noise_std, dropout=dropout,
         )
     else:
         # open_sky removes the ceiling: upward rays return nothing, so the
@@ -63,6 +65,7 @@ def build_synthetic_dataset(
         scans, poses, ts, scene, _ = generate_sequence(
             num_scans=num_scans, scene=scene,
             lidar=VirtualLidar(num_channels=32, num_columns=512),
+            noise_std=noise_std,
         )
     # Write to a staging dir and rename: an interrupted build must not
     # leave a half-written dataset that later runs mistake for complete.
@@ -292,6 +295,16 @@ def main() -> None:
         "courtyard_actors adds moving pedestrians)",
     )
     parser.add_argument(
+        "--synthetic_noise_std", type=float, default=0.0,
+        help="Gaussian range-noise sigma (m) for the synthetic dataset "
+             "(robustness drills)",
+    )
+    parser.add_argument(
+        "--synthetic_dropout", type=float, default=0.0,
+        help="per-return dropout probability for the synthetic dataset "
+             "(robustness drills; courtyard scenes only)",
+    )
+    parser.add_argument(
         "--synthetic_camera", action="store_true",
         help="also render virtual-camera images into the synthetic "
              "dataset (intensity supervision)",
@@ -390,6 +403,10 @@ def main() -> None:
             suffix += "_cam"
         if args.synthetic_scene != "box_room":
             suffix += f"_{args.synthetic_scene}"
+        if args.synthetic_noise_std > 0:
+            suffix += f"_n{args.synthetic_noise_std:g}"
+        if args.synthetic_dropout > 0:
+            suffix += f"_d{args.synthetic_dropout:g}"
         dataset_path = os.path.join("./outputs", f"synthetic_dataset{suffix}")
         if not os.path.exists(os.path.join(dataset_path, "scans")):
             desc = (
@@ -401,6 +418,8 @@ def main() -> None:
             build_synthetic_dataset(
                 dataset_path, num_scans=n, with_camera=args.synthetic_camera,
                 scene_name=args.synthetic_scene,
+                noise_std=args.synthetic_noise_std,
+                dropout=args.synthetic_dropout,
             )
     else:
         dataset_path = args.dataset_path

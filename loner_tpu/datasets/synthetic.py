@@ -249,18 +249,29 @@ def make_scan(
     pose: Pose,
     t_start: float,
     noise_std: float = 0.0,
+    dropout: float = 0.0,
     seed: int = 0,
 ) -> LidarScan:
-    """Simulate one sweep from ``pose`` (no motion during sweep)."""
+    """Simulate one sweep from ``pose`` (no motion during sweep).
+
+    ``noise_std`` adds i.i.d. Gaussian range noise (meters);
+    ``dropout`` discards each return with that probability (sensor
+    dropouts / dark surfaces — the robustness-drill degradation axes;
+    the reference's real datasets carry both, cf. the Ouster range
+    noise spec and the canteen crowds).
+    """
     dirs_sensor = lidar.ray_directions()
     rot = pose.get_rotation()
     dirs_world = (rot @ dirs_sensor).T  # (N, 3)
     origins = np.broadcast_to(pose.get_translation(), dirs_world.shape)
     times = lidar.timestamps(t_start) if scene.actors else None
     depth = scene.raycast(origins, dirs_world, times=times)
+    rng = np.random.default_rng(seed)
     if noise_std > 0:
-        depth = depth + np.random.default_rng(seed).normal(0, noise_std, depth.shape)
+        depth = depth + rng.normal(0, noise_std, depth.shape)
     valid = (depth > lidar.min_range) & (depth < min(lidar.max_range, 1e5))
+    if dropout > 0:
+        valid &= rng.random(depth.shape) >= dropout
     return LidarScan(
         dirs_sensor[:, valid],
         depth[valid].astype(np.float32),
@@ -438,6 +449,7 @@ def make_courtyard(
 def generate_courtyard_sequence(
     with_actors: bool = False,
     noise_std: float = 0.0,
+    dropout: float = 0.0,
     rate_hz: float = 10.0,
     lidar: Optional[VirtualLidar] = None,
 ) -> Tuple[List[LidarScan], np.ndarray, np.ndarray, BoxRoomScene, VirtualLidar]:
@@ -456,7 +468,10 @@ def generate_courtyard_sequence(
     )
     poses, ts = make_waypoint_trajectory(waypoints, speed=speed, rate_hz=rate_hz)
     scans = [
-        make_scan(scene, lidar, Pose(poses[i]), ts[i], noise_std=noise_std, seed=i)
+        make_scan(
+            scene, lidar, Pose(poses[i]), ts[i],
+            noise_std=noise_std, dropout=dropout, seed=i,
+        )
         for i in range(len(ts))
     ]
     return scans, poses, ts, scene, lidar
