@@ -24,7 +24,7 @@ sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "examples"))
 
 DEFAULT_RUNS = [
-    ("static", "courtyard_r5_flagship"),
+    ("static", "courtyard_tpu_r5f"),
     ("actors", "courtyard_actors_r5"),
     ("noise_0.05m", "courtyard_n0.05_r5"),
     ("noise_0.15m", "courtyard_n0.15_r5"),

@@ -16,7 +16,12 @@
 # Usage: bash examples/scripts/robustness_drill.sh
 set -e
 cd "$(dirname "$0")/../.."
-CFG=cfg/synthetic/courtyard_tpu_r5.yaml
+# Base config: the TUNED r5f pick (10k ICP points, 3-stage schedule,
+# frozen mapper poses — artifacts/scale_drive_r5/tracking_ab.yaml).
+# Static baseline ATE 0.31 m / RTF 0.998, so degradation deltas read
+# directly instead of being swamped by the reference-parity config's
+# 0.99 m drift.
+CFG=cfg/synthetic/courtyard_tpu_r5f.yaml
 
 run() { # run <experiment_name> <extra run_loner args...>
   name=$1; shift
