@@ -88,10 +88,14 @@ def main() -> None:
         lr_sigma=0.005, steps_per_dispatch=10, prop_n_ctrl=33, point_chunk=0,
         prop_train_subsample=8,
     )
+    # BENCH_MLP_WIDTH: A/B hook for the sigma-MLP width study
+    # (docs/PERFORMANCE.md round 5 — hidden-stream bytes scale with
+    # width; quality gate in artifacts/scale_drive_r5/capacity_sweep.yaml).
+    mlp_width = int(os.environ.get("BENCH_MLP_WIDTH", 256))
     field_cfg = FieldConfig(
         encoding_sigma="fourier",
         fourier_sigma=FourierConfig(n_freqs=48, scale=6.0),
-        sigma_mlp=MLPConfig(n_neurons=256, n_hidden_layers=2, output_dim=1),
+        sigma_mlp=MLPConfig(n_neurons=mlp_width, n_hidden_layers=2, output_dim=1),
         density_activation="softplus", sigma_mlp_bias=True,
         compute_dtype=jnp.bfloat16, sigma_kernel="xla",
         pos_encoding_intensity=HashEncodingConfig(log2_hashmap_size=19),

@@ -107,6 +107,32 @@ def grad_sort_level(idx, upd, cfg: HashEncodingConfig):
     return jnp.concatenate(outs, axis=0)
 
 
+def grad_argsort_level(idx, upd, cfg: HashEncodingConfig):
+    """Per-level argsort + payload gather (what _hash_encode_vjp_bwd
+    ships): same run-reduction, but the permutation is materialized and
+    the payload reordered with one gather instead of riding a
+    multi-operand lax.sort. Under a GSPMD mesh the multi-operand sort
+    aborts XLA:CPU inside the full phase-runner program (round-5
+    finding, tests/test_mesh_sharding.py); argsort+gather partitions
+    cleanly, so it is the shipped form if the chip cost is comparable."""
+    offsets = cfg.level_offsets()
+    sizes = cfg.level_table_sizes()
+    outs = []
+    for lvl in range(cfg.n_levels):
+        li = idx[:, lvl, :].reshape(-1) - np.int32(offsets[lvl])
+        lu = upd[:, lvl, :, :].reshape(-1, F)
+        perm = jnp.argsort(li)
+        outs.append(
+            jax.ops.segment_sum(
+                lu[perm],
+                li[perm],
+                num_segments=int(sizes[lvl]),
+                indices_are_sorted=True,
+            )
+        )
+    return jnp.concatenate(outs, axis=0)
+
+
 def bench(fn, inputs):
     """Time fn on each input, return the best. The caller must already
     have compiled fn (and consumed inputs[0] doing so — it is excluded
@@ -122,7 +148,7 @@ def bench(fn, inputs):
 def main():
     variants = (
         sys.argv[1].split(",") if len(sys.argv) > 1
-        else ["scatter", "sort_level", "sort_flat"]
+        else ["scatter", "sort_level", "argsort_level", "sort_flat"]
     )
     cfg = HashEncodingConfig(
         n_levels=16, n_features_per_level=F, log2_hashmap_size=18,
@@ -143,6 +169,7 @@ def main():
         "scatter": jax.jit(lambda i, u: grad_scatter(i, u, t_size)),
         "sort_flat": jax.jit(lambda i, u: grad_sort_flat(i, u, t_size)),
         "sort_level": jax.jit(lambda i, u: grad_sort_level(i, u, cfg)),
+        "argsort_level": jax.jit(lambda i, u: grad_argsort_level(i, u, cfg)),
     }
     ref = None
     for name in variants:

@@ -267,11 +267,17 @@ def _hash_encode_vjp_bwd(cfg, compute_dtype, residual_dtype, res, g):
     # sum, the canonical TPU embedding-gradient idiom. A flat
     # scatter-add serializes on colliding indices (~12M updates/s
     # measured); sorting each level's updates by table index and
-    # reducing runs with segment_sum(indices_are_sorted=True) runs 6.6x
-    # faster (78.7M updates/s) and is bit-exact vs the scatter
+    # reducing runs with segment_sum(indices_are_sorted=True) runs ~6x
+    # faster and is bit-exact vs the scatter
     # (examples/scripts/bench_hash_sortgrad.py, round 5; per-LEVEL
     # sorts — 16 x 1.05M — beat one flat 16.8M sort, whose O(n log^2 n)
-    # cost erases the win).
+    # cost erases the win). The sort rides jnp.argsort + one payload
+    # gather rather than a multi-operand lax.sort: inside the full
+    # sharded phase-runner program the multi-operand form aborts
+    # XLA:CPU under a GSPMD mesh (tests/test_mesh_sharding.py caught
+    # it; a minimal sort+segment_sum repro does NOT trigger the abort),
+    # while argsort+gather partitions cleanly at comparable chip cost
+    # (both variants' rows in the bench script).
     upd = w[..., None] * gl  # (N, L, 8, F)
     offsets = cfg.level_offsets()
     sizes = cfg.level_table_sizes()
@@ -279,13 +285,11 @@ def _hash_encode_vjp_bwd(cfg, compute_dtype, residual_dtype, res, g):
     for lvl in range(n_levels):
         li = idx[:, lvl, :].reshape(-1) - np.int32(offsets[lvl])
         lu = upd[:, lvl, :, :].reshape(-1, f_dim)
-        sorted_cols = jax.lax.sort(
-            (li, *(lu[:, j] for j in range(f_dim))), num_keys=1
-        )
+        perm = jnp.argsort(li)
         level_grads.append(
             jax.ops.segment_sum(
-                jnp.stack(sorted_cols[1:], axis=-1),
-                sorted_cols[0],
+                lu[perm],
+                li[perm],
                 num_segments=int(sizes[lvl]),
                 indices_are_sorted=True,
             )
